@@ -1,0 +1,128 @@
+"""DCGAN encoder/decoder backbones (64px and 128px variants).
+
+Behavioral parity with /root/reference/models/dcgan_64.py and dcgan_128.py:
+  * encoder: stride-2 4x4 conv+BN+LeakyReLU(0.2) stages halving resolution,
+    then a 4x4 VALID conv+BN+Tanh head collapsing 4x4 → 1x1 → g_dim vector;
+    returns the vector plus the per-stage feature maps as U-Net skips
+    (dcgan_64.py:48-54).
+  * decoder: ConvTranspose head 1x1 → 4x4, then stride-2 4x4 upconv stages
+    each consuming concat([d, skip]) (dcgan_64.py:82-87). Final activation is
+    Tanh for the 64px variant (dcgan_64.py:76) and Sigmoid for the 128px
+    variant (dcgan_128.py:81) — a reference quirk reproduced on purpose.
+
+Images are NHWC. All channel widths are multiples of 64 → MXU-friendly.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dvg_tpu.models import layers as L
+
+NF = 64
+
+
+def _stage_channels(image_width: int, nc: int) -> List[Tuple[int, int]]:
+    if image_width == 64:
+        return [(nc, NF), (NF, NF * 2), (NF * 2, NF * 4), (NF * 4, NF * 8)]
+    if image_width == 128:
+        return [(nc, NF), (NF, NF * 2), (NF * 2, NF * 4), (NF * 4, NF * 8),
+                (NF * 8, NF * 8)]
+    raise ValueError(f"dcgan backbone supports image_width 64|128, got {image_width}")
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+def encoder_init(key, dim: int, nc: int = 1, image_width: int = 64) -> Dict:
+    chans = _stage_channels(image_width, nc)
+    keys = jax.random.split(key, len(chans) + 1)
+    params = {
+        "stages": [L.conv_block_init(k, ci, co, 4)
+                   for k, (ci, co) in zip(keys[:-1], chans)],
+        "head": L.conv_block_init(keys[-1], chans[-1][1], dim, 4),
+    }
+    return params
+
+
+def encoder_stats_init(dim: int, nc: int = 1, image_width: int = 64) -> Dict:
+    chans = _stage_channels(image_width, nc)
+    return {
+        "stages": [L.conv_block_stats_init(co) for _, co in chans],
+        "head": L.conv_block_stats_init(dim),
+    }
+
+
+def encoder_apply(params, stats, x, train: bool):
+    """x: (B, H, W, C) → ((h: (B, dim), skips: list of feature maps), stats)."""
+    skips = []
+    new_stage_stats = []
+    h = x
+    for p, s in zip(params["stages"], stats["stages"]):
+        h, ns = L.conv_block_apply(p, s, h, train, stride=2, padding=1,
+                                   act=L.leaky_relu)
+        skips.append(h)
+        new_stage_stats.append(ns)
+    h, head_stats = L.conv_block_apply(params["head"], stats["head"], h, train,
+                                       stride=1, padding=0, act=jnp.tanh)
+    vec = h.reshape(h.shape[0], -1)
+    new_stats = {"stages": new_stage_stats, "head": head_stats}
+    return (vec, skips), new_stats
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+def _decoder_stage_channels(image_width: int) -> List[Tuple[int, int]]:
+    if image_width == 64:
+        # upc2..upc4 of dcgan_64.py:68-72
+        return [(NF * 8 * 2, NF * 4), (NF * 4 * 2, NF * 2), (NF * 2 * 2, NF)]
+    if image_width == 128:
+        # upc2..upc5 of dcgan_128.py:64-72
+        return [(NF * 8 * 2, NF * 8), (NF * 8 * 2, NF * 4),
+                (NF * 4 * 2, NF * 2), (NF * 2 * 2, NF)]
+    raise ValueError(f"dcgan backbone supports image_width 64|128, got {image_width}")
+
+
+def decoder_init(key, dim: int, nc: int = 1, image_width: int = 64) -> Dict:
+    chans = _decoder_stage_channels(image_width)
+    keys = jax.random.split(key, len(chans) + 2)
+    return {
+        "head": L.upconv_block_init(keys[0], dim, NF * 8, 4),
+        "stages": [L.upconv_block_init(k, ci, co, 4)
+                   for k, (ci, co) in zip(keys[1:-1], chans)],
+        "final": L.conv_transpose2d_init(keys[-1], NF * 2, nc, 4),
+    }
+
+
+def decoder_stats_init(dim: int, nc: int = 1, image_width: int = 64) -> Dict:
+    chans = _decoder_stage_channels(image_width)
+    return {
+        "head": {"bn": L.batchnorm_stats_init(NF * 8)},
+        "stages": [{"bn": L.batchnorm_stats_init(co)} for _, co in chans],
+    }
+
+
+def decoder_apply(params, stats, vec, skips, train: bool, image_width: int = 64):
+    """(vec: (B, dim), skips from encoder) → (x: (B, H, W, nc), stats)."""
+    final_act = jnp.tanh if image_width == 64 else jax.nn.sigmoid
+    d = vec.reshape(vec.shape[0], 1, 1, vec.shape[-1])
+    d, head_stats = L.upconv_block_apply(params["head"], stats["head"], d, train,
+                                         stride=1, torch_padding=0,
+                                         act=L.leaky_relu)
+    new_stage_stats = []
+    for p, s, skip in zip(params["stages"], stats["stages"], reversed(skips)):
+        d = jnp.concatenate([d, skip], axis=-1)
+        d, ns = L.upconv_block_apply(p, s, d, train, stride=2, torch_padding=1,
+                                     act=L.leaky_relu)
+        new_stage_stats.append(ns)
+    d = jnp.concatenate([d, skips[0]], axis=-1)
+    out = L.conv_transpose2d_apply(params["final"], d, stride=2, torch_padding=1)
+    out = final_act(out)
+    new_stats = {"head": head_stats, "stages": new_stage_stats}
+    return out, new_stats

@@ -1,0 +1,249 @@
+"""Minimal functional layer library (TPU-native, NHWC).
+
+Every layer is a pair of pure functions:
+
+    params          = <layer>_init(key, ...)
+    y[, new_stats]  = <layer>_apply(params, x, ...)
+
+Parameters are plain nested dicts (pytrees), so they thread naturally through
+`jax.lax.scan` carries, `vmap`, `grad`, sharding annotations, and msgpack
+checkpoints — no module/state machinery. BatchNorm statistics are explicit
+values returned from apply, never hidden mutation, which is what makes the
+per-frame BN-in-train-mode semantics of the reference reproducible inside a
+scanned time loop (reference applies BN per frame per step,
+/root/reference/models/dcgan_64.py:8-10).
+
+Weight init matches /root/reference/utils.py:304-311: conv/linear weights
+~ N(0, 0.02), biases 0; BatchNorm scale ~ N(1, 0.02), bias 0.
+
+Layout notes (TPU-first):
+  * images are NHWC (XLA's preferred TPU conv layout), not the reference's
+    NCHW; conv kernels are HWIO;
+  * conv channel counts in this model family are multiples of 64 → they tile
+    the 128x128 MXU and 8x128 VPU cleanly in f32 and bf16.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Params = Dict[str, Any]
+
+# ---------------------------------------------------------------------------
+# initializers (reference utils.py:304-311)
+# ---------------------------------------------------------------------------
+
+WEIGHT_STD = 0.02
+
+
+def normal_init(key, shape, std=WEIGHT_STD, mean=0.0, dtype=jnp.float32):
+    return mean + std * jax.random.normal(key, shape, dtype)
+
+
+# ---------------------------------------------------------------------------
+# linear
+# ---------------------------------------------------------------------------
+
+def linear_init(key, in_dim: int, out_dim: int) -> Params:
+    return {
+        "w": normal_init(key, (in_dim, out_dim)),
+        "b": jnp.zeros((out_dim,), jnp.float32),
+    }
+
+
+def linear_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.dot(x, p["w"], preferred_element_type=jnp.float32) + p["b"]
+
+
+# ---------------------------------------------------------------------------
+# conv2d (NHWC, HWIO)
+# ---------------------------------------------------------------------------
+
+def conv2d_init(key, in_ch: int, out_ch: int, k: int) -> Params:
+    return {
+        "w": normal_init(key, (k, k, in_ch, out_ch)),
+        "b": jnp.zeros((out_ch,), jnp.float32),
+    }
+
+
+def conv2d_apply(p: Params, x: jnp.ndarray, stride: int = 1,
+                 padding: int = 0) -> jnp.ndarray:
+    """Torch-style Conv2d(k, stride, padding) on NHWC input."""
+    y = lax.conv_general_dilated(
+        x, p["w"],
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + p["b"]
+
+
+def conv3d_init(key, in_ch: int, out_ch: int, k: Tuple[int, int, int]) -> Params:
+    kd, kh, kw = k
+    return {
+        "w": normal_init(key, (kd, kh, kw, in_ch, out_ch)),
+        "b": jnp.zeros((out_ch,), jnp.float32),
+    }
+
+
+def conv3d_apply(p: Params, x: jnp.ndarray, stride=(1, 1, 1),
+                 padding=(0, 0, 0)) -> jnp.ndarray:
+    """Torch-style Conv3d on NDHWC input."""
+    y = lax.conv_general_dilated(
+        x, p["w"],
+        window_strides=stride,
+        padding=tuple((pp, pp) for pp in padding),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    return y + p["b"]
+
+
+# ---------------------------------------------------------------------------
+# conv_transpose2d (NHWC)
+# ---------------------------------------------------------------------------
+
+def conv_transpose2d_init(key, in_ch: int, out_ch: int, k: int) -> Params:
+    return {
+        "w": normal_init(key, (k, k, in_ch, out_ch)),
+        "b": jnp.zeros((out_ch,), jnp.float32),
+    }
+
+
+def conv_transpose2d_apply(p: Params, x: jnp.ndarray, stride: int,
+                           torch_padding: int) -> jnp.ndarray:
+    """Torch-style ConvTranspose2d(k, stride, padding).
+
+    Output size (in-1)*stride - 2*torch_padding + k, realized with
+    lax.conv_transpose explicit padding lo = hi = k - 1 - torch_padding.
+    The two shapes used by the model family:
+      k=4, s=2, p=1 → exact 2x upsample (dcgan_64.py:20)
+      k=4, s=1, p=0 → 1x1 → 4x4 head     (dcgan_64.py:62)
+    """
+    pad = p["w"].shape[0] - 1 - torch_padding
+    y = lax.conv_transpose(
+        x, p["w"],
+        strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + p["b"]
+
+
+# ---------------------------------------------------------------------------
+# batch norm (torch semantics: eps=1e-5, momentum=0.1,
+#             biased var to normalize, unbiased var into running stats)
+# ---------------------------------------------------------------------------
+
+BN_EPS = 1e-5
+BN_MOMENTUM = 0.1
+
+
+def batchnorm_init(key, ch: int) -> Params:
+    return {
+        "scale": normal_init(key, (ch,), std=WEIGHT_STD, mean=1.0),
+        "bias": jnp.zeros((ch,), jnp.float32),
+    }
+
+
+def batchnorm_stats_init(ch: int) -> Params:
+    return {"mean": jnp.zeros((ch,), jnp.float32),
+            "var": jnp.ones((ch,), jnp.float32)}
+
+
+def batchnorm_apply(p: Params, stats: Params, x: jnp.ndarray, train: bool,
+                    momentum: float = BN_MOMENTUM,
+                    eps: float = BN_EPS) -> Tuple[jnp.ndarray, Params]:
+    """Normalize over all axes but the last (channel). Returns (y, new_stats)."""
+    if train:
+        axes = tuple(range(x.ndim - 1))
+        mean = jnp.mean(x, axis=axes)
+        var = jnp.var(x, axis=axes)
+        n = x.size // x.shape[-1]
+        unbiased = var * (n / max(n - 1, 1))
+        new_stats = {
+            "mean": (1 - momentum) * stats["mean"] + momentum * mean,
+            "var": (1 - momentum) * stats["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = stats["mean"], stats["var"]
+        new_stats = stats
+    inv = lax.rsqrt(var + eps)
+    y = (x - mean) * (inv * p["scale"]) + p["bias"]
+    return y, new_stats
+
+
+# ---------------------------------------------------------------------------
+# activations / pooling / resize
+# ---------------------------------------------------------------------------
+
+def leaky_relu(x, negative_slope=0.2):
+    return jnp.where(x >= 0, x, negative_slope * x)
+
+
+def max_pool2d(x: jnp.ndarray, k: int = 2, stride: int = 2) -> jnp.ndarray:
+    return lax.reduce_window(
+        x, -jnp.inf, lax.max,
+        window_dimensions=(1, k, k, 1),
+        window_strides=(1, stride, stride, 1),
+        padding="VALID",
+    )
+
+
+def max_pool3d(x: jnp.ndarray, k: Tuple[int, int, int]) -> jnp.ndarray:
+    kd, kh, kw = k
+    return lax.reduce_window(
+        x, -jnp.inf, lax.max,
+        window_dimensions=(1, kd, kh, kw, 1),
+        window_strides=(1, kd, kh, kw, 1),
+        padding="VALID",
+    )
+
+
+def upsample_nearest2d(x: jnp.ndarray, scale: int = 2) -> jnp.ndarray:
+    """Nearest-neighbor 2x upsample (reference vgg_64.py:94 UpsamplingNearest2d)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, scale, w, scale, c))
+    return x.reshape(b, h * scale, w * scale, c)
+
+
+# ---------------------------------------------------------------------------
+# composite blocks shared by the backbones
+# ---------------------------------------------------------------------------
+
+def conv_block_init(key, in_ch, out_ch, k):
+    """conv + BN (+ activation applied by caller)."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "conv": conv2d_init(k1, in_ch, out_ch, k),
+        "bn": batchnorm_init(k2, out_ch),
+    }
+
+
+def conv_block_stats_init(out_ch):
+    return {"bn": batchnorm_stats_init(out_ch)}
+
+
+def conv_block_apply(p, stats, x, train, *, stride, padding, act):
+    y = conv2d_apply(p["conv"], x, stride=stride, padding=padding)
+    y, new_bn = batchnorm_apply(p["bn"], stats["bn"], y, train)
+    return act(y), {"bn": new_bn}
+
+
+def upconv_block_init(key, in_ch, out_ch, k):
+    k1, k2 = jax.random.split(key)
+    return {
+        "conv": conv_transpose2d_init(k1, in_ch, out_ch, k),
+        "bn": batchnorm_init(k2, out_ch),
+    }
+
+
+def upconv_block_apply(p, stats, x, train, *, stride, torch_padding, act):
+    y = conv_transpose2d_apply(p["conv"], x, stride=stride,
+                               torch_padding=torch_padding)
+    y, new_bn = batchnorm_apply(p["bn"], stats["bn"], y, train)
+    return act(y), {"bn": new_bn}

@@ -1,0 +1,60 @@
+"""Backbone registry: (model, image_width) → encoder/decoder functions.
+
+The reference declares --model dcgan|vgg and --image_width 64|128 but ignores
+both (train.py:75 hardcodes models.dcgan_64). This registry honors them for
+real, selecting among the four backbone variants (SURVEY.md §5.6).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from dvg_tpu.models import dcgan, vgg
+
+
+class Backbone(NamedTuple):
+    encoder_init: callable
+    encoder_stats_init: callable
+    encoder_apply: callable
+    decoder_init: callable
+    decoder_stats_init: callable
+    decoder_apply: callable
+    num_skips: int
+
+
+def get_backbone(model: str = "dcgan", image_width: int = 64) -> Backbone:
+    if image_width not in (64, 128):
+        raise ValueError(f"image_width must be 64 or 128, got {image_width}")
+    num_skips = 4 if image_width == 64 else 5
+    if model == "dcgan":
+        mod = dcgan
+    elif model == "vgg":
+        mod = vgg
+    else:
+        raise ValueError(f"model must be 'dcgan' or 'vgg', got {model!r}")
+
+    def enc_init(key, dim, nc):
+        return mod.encoder_init(key, dim, nc, image_width)
+
+    def enc_stats(dim, nc):
+        return mod.encoder_stats_init(dim, nc, image_width)
+
+    def dec_init(key, dim, nc):
+        return mod.decoder_init(key, dim, nc, image_width)
+
+    def dec_stats(dim, nc):
+        return mod.decoder_stats_init(dim, nc, image_width)
+
+    def dec_apply(params, stats, vec, skips, train):
+        return mod.decoder_apply(params, stats, vec, skips, train,
+                                 image_width=image_width)
+
+    return Backbone(
+        encoder_init=enc_init,
+        encoder_stats_init=enc_stats,
+        encoder_apply=mod.encoder_apply,
+        decoder_init=dec_init,
+        decoder_stats_init=dec_stats,
+        decoder_apply=dec_apply,
+        num_skips=num_skips,
+    )
