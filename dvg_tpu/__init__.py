@@ -19,4 +19,21 @@ Reference parity citations (file:line) point at /root/reference.
 
 __version__ = "0.1.0"
 
-from dvg_tpu.config import DVGConfig  # noqa: F401
+import os as _os
+
+
+def enable_compilation_cache(path: str = "") -> None:
+    """Persistent XLA compilation cache — first compile of the big scan
+    programs is minutes through a remote-compile relay; cached reruns are
+    seconds. Called by the CLIs/bench; set DVG_NO_CACHE=1 to disable."""
+    if _os.environ.get("DVG_NO_CACHE"):
+        return
+    import jax
+    cache = (path or _os.environ.get("JAX_COMPILATION_CACHE_DIR")
+             or _os.path.expanduser("~/.cache/dvg_tpu_xla"))
+    _os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+from dvg_tpu.config import DVGConfig  # noqa: F401,E402

@@ -1,0 +1,197 @@
+"""Generation/eval driver. Mirrors `python generate_frames.py ...`
+(/root/reference/generate_frames.py:17-41 flags, 324-329 main loop):
+
+  * loads the checkpoint, REPLACES the live config with the saved one, then
+    overrides n_eval=105 / n_future=100 / batch_size=50 (the restore-then-
+    override contract, generate_frames.py:43-49);
+  * default path: for 5 test batches → posterior rollout + 100-sample
+    diverse rollout (GP fork every 15th frame), per-sample SSIM/PSNR,
+    best-of-N-by-mean-SSIM GIF with green-context/red-prediction borders
+    (make_gifs, generate_frames.py:107-217);
+  * --gp_trigger_flag: the adaptive variance-trigger path (GPtrigger_gen,
+    generate_frames.py:249-300) writing every-3rd-frame strips under
+    recursive_generation/<idx>/.
+
+TPU-native: the 100 futures are ONE vmapped scan (optionally sharded over a
+('sample','data') mesh), SSIM/PSNR run on device, and the eval arrays the
+reference discards (generate_frames.py:329) are persisted as .npz.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="DVG-TPU generation/eval")
+    # reference flags (generate_frames.py:17-41)
+    p.add_argument("--batch_size", default=50, type=int)
+    p.add_argument("--log_dir", default="logs_gp")
+    p.add_argument("--model_dir", default="")
+    p.add_argument("--name", default="")
+    p.add_argument("--data_root", default="./data/kth")
+    p.add_argument("--seed", default=1, type=int)
+    p.add_argument("--image_width", type=int, default=64)
+    p.add_argument("--channels", default=1, type=int)
+    p.add_argument("--gp_trigger_flag", action="store_true", default=False)
+    p.add_argument("--dataset", default="kth")
+    p.add_argument("--n_past", type=int, default=5)
+    p.add_argument("--n_future", type=int, default=10)
+    p.add_argument("--n_eval", type=int, default=60)
+    p.add_argument("--rnn_size", type=int, default=256)
+    p.add_argument("--predictor_rnn_layers", type=int, default=2)
+    p.add_argument("--z_dim", type=int, default=10)
+    p.add_argument("--g_dim", type=int, default=90)
+    p.add_argument("--model", default="dcgan")
+    p.add_argument("--data_threads", type=int, default=5)
+    p.add_argument("--last_frame_skip", action="store_true")
+    # TPU-native extras
+    p.add_argument("--nsample", type=int, default=100)
+    p.add_argument("--num_batches", type=int, default=5)
+    p.add_argument("--mesh_samples", type=int, default=0,
+                   help="shard the sample axis over N devices (0 = off)")
+    # debugging escapes from the restore-then-override contract
+    # (generate_frames.py:47-49 hardcodes n_eval=105/n_future=100/batch=50)
+    p.add_argument("--override_n_eval", type=int, default=0)
+    p.add_argument("--override_batch_size", type=int, default=0)
+    p.add_argument("--gif_rows", type=int, default=10,
+                   help="batch rows to render GIFs for (the reference's "
+                        "early-return quirk yields 1/call; we default 10)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from dvg_tpu.config import DVGConfig
+    from dvg_tpu.data import Loader, load_dataset
+    from dvg_tpu.generate.rollout import best_of_n, make_rollout_fns
+    from dvg_tpu.models.dvg import DVGModel
+    from dvg_tpu.parallel import make_mesh
+    from dvg_tpu.train import init_train_state, load_checkpoint
+    from dvg_tpu.utils import (MetricLogger, add_border, save_gif_with_text,
+                               save_image)
+
+    # ---- restore-then-override (generate_frames.py:43-49) -------------------
+    import dvg_tpu
+    dvg_tpu.enable_compilation_cache()
+
+    ckpt = os.path.join(args.model_dir, "model.ckpt")
+    saved_cfg, payload = load_checkpoint(ckpt)
+    cfg = saved_cfg.generation_override()
+    cfg = cfg.replace(log_dir=args.log_dir, dataset=args.dataset,
+                      data_root=args.data_root,
+                      gp_trigger_flag=args.gp_trigger_flag,
+                      nsample=args.nsample)
+    if args.override_n_eval:
+        cfg = cfg.replace(n_eval=args.override_n_eval,
+                          n_future=args.override_n_eval - cfg.n_past)
+    if args.override_batch_size:
+        cfg = cfg.replace(batch_size=args.override_batch_size)
+    os.makedirs(cfg.log_dir, exist_ok=True)
+    logger = MetricLogger(cfg.log_dir)
+
+    model = DVGModel(cfg)
+    # rebuild a state skeleton from the SAVED config geometry, then load
+    _, skeleton, _ = init_train_state(cfg, jax.random.PRNGKey(0))
+    _, state = load_checkpoint(ckpt, target_state=skeleton)
+    params, stats = state.params, state.stats
+    cache = model.gp_cache(params)
+
+    _, test_ds = load_dataset(cfg, seq_len=cfg.n_eval)
+    test_loader = Loader(test_ds, cfg.batch_size, shuffle=False,
+                         seed=cfg.seed, num_threads=args.data_threads)
+
+    mesh = None
+    if args.mesh_samples > 1:
+        mesh = make_mesh([("sample", args.mesh_samples), ("data", -1)])
+    fns = make_rollout_fns(model, cfg, nsample=cfg.nsample)
+    posterior = jax.jit(fns.posterior)
+    metrics_fn = jax.jit(fns.diverse_metrics)
+    select_fn = jax.jit(fns.diverse_select)
+    trigger = jax.jit(fns.gp_trigger)
+
+    for bi in range(args.num_batches):
+        print(f"batch {bi}: loading...", flush=True)
+        x = jnp.asarray(test_loader.next_batch(bi))
+        key = jax.random.PRNGKey(cfg.seed * 1000 + bi)
+        if cfg.gp_trigger_flag:
+            print(f"batch {bi}: gp-trigger rollout...", flush=True)
+            frames, diag = trigger(params, stats, cache, x, key)
+            _save_trigger_strips(np.asarray(frames), np.asarray(x), bi, cfg,
+                                 save_image)
+            logger.log(bi, {"triggers": float(np.asarray(
+                diag["triggers"]).sum())}, kind="trigger")
+            continue
+
+        print(f"batch {bi}: posterior rollout...", flush=True)
+        post = posterior(params, stats, cache, x)          # (T, B, ...)
+        print(f"batch {bi}: {cfg.nsample}-sample diverse rollout + "
+              "in-scan SSIM/PSNR...", flush=True)
+        met = metrics_fn(params, stats, cache, x, key)     # (S, T', B) each
+        ssim = np.asarray(jnp.transpose(met["ssim"], (2, 0, 1)))  # (B, S, T')
+        psnr = np.asarray(jnp.transpose(met["psnr"], (2, 0, 1)))
+        best_idx, best_ssim = best_of_n(jnp.asarray(ssim))
+        logger.save_arrays(f"eval_batch{bi}", ssim=ssim, psnr=psnr)
+        logger.log(bi, {"ssim_best_mean": float(jnp.mean(best_ssim)),
+                        "psnr_mean": float(psnr.mean())}, kind="eval")
+        print(f"batch {bi}: re-rolling selected samples for GIFs...",
+              flush=True)
+        _save_sample_gifs(np.asarray(x), np.asarray(post), select_fn,
+                          (params, stats, cache, key), np.asarray(best_idx),
+                          ssim.shape[1], args.gif_rows, bi, cfg, add_border,
+                          save_gif_with_text, jnp)
+    return 0
+
+
+def _save_sample_gifs(x, post, select_fn, model_args, best_idx, s_total,
+                      gif_rows, batch_idx, cfg, add_border,
+                      save_gif_with_text, jnp):
+    """GT + posterior + best-SSIM + 3 random samples, bordered and captioned
+    (generate_frames.py:185-216). The reference keeps all 100x104 futures on
+    host and `return`s inside its loop so only one GIF per call emerges
+    (quirk, SURVEY.md §5.6); here the chosen samples are re-rolled exactly
+    (deterministic per-sample/per-row keys) one batch row at a time."""
+    params, stats, cache, key = model_args
+    rng = np.random.RandomState(batch_idx)
+    for i in range(min(x.shape[1], gif_rows)):
+        ids = [int(best_idx[i])] + list(rng.randint(0, s_total, 3))
+        frames = np.asarray(select_fn(
+            params, stats, cache, jnp.asarray(x[:, i:i + 1]), key,
+            jnp.asarray(ids), jnp.asarray([i])))     # (4, n_eval, 1, ...)
+        gifs, texts = [], []
+        for t in range(cfg.n_eval):
+            color = "green" if t < cfg.n_past else "red"
+            row = [add_border(x[t, i], "green"),
+                   add_border(post[t, i], color),
+                   add_border(frames[0, t, 0], color)]
+            txt = ["Ground\ntruth", "Approx.\nposterior", "Best SSIM"]
+            for k in range(3):
+                row.append(add_border(frames[k + 1, t, 0], color))
+                txt.append("Random\nsample %d" % (k + 1))
+            gifs.append(row)
+            texts.append(txt)
+        fname = os.path.join(cfg.log_dir,
+                             f"sample_lstm_{batch_idx * x.shape[1] + i}.gif")
+        save_gif_with_text(fname, gifs, texts)
+
+
+def _save_trigger_strips(frames, x, batch_idx, cfg, save_image):
+    """Every-3rd-frame strip per batch row (plot_rec contract,
+    generate_frames.py:235-245) under recursive_generation/<idx>/."""
+    for i in range(frames.shape[1]):
+        strip = [frames[t, i] for t in range(0, frames.shape[0], 3)]
+        save_image(os.path.join(
+            "recursive_generation", str(i),
+            f"heuristic_gp_trigger_1_0_b{batch_idx}.png"), [strip])
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,176 @@
+"""Training driver. Mirrors `python train.py ...` of the reference
+(/root/reference/train.py:17-46 flags, 340-392 epoch loop), with the flags
+the reference declares-but-ignores (`--model`, `--image_width`) honored for
+real, plus TPU-native extras:
+
+  --mesh N        data-parallel over N devices (default: all available)
+  --resume        resume training from the checkpoint in --output_path
+                  (the reference cannot resume at all, SURVEY.md §5.3)
+  --trace_dir D   dump a jax.profiler trace for the first few steps
+  --ckpt_every K  checkpoint cadence in epochs (reference: 4)
+
+Per epoch: `epoch_size` jitted steps (each = the reference's joint +
+finetune passes); every `ckpt_every` epochs a 5-sample qualitative plot
+(train.py:256-335 contract: GP fork at i==10, best-of-5-by-MSE grid) and a
+rotating checkpoint save (train.py:380-388).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="DVG-TPU training")
+    # reference flags (train.py:17-46), same names and defaults
+    p.add_argument("--lr", default=0.002, type=float)
+    p.add_argument("--beta1", default=0.9, type=float)
+    p.add_argument("--batch_size", default=50, type=int)
+    p.add_argument("--log_dir", default="logs")
+    p.add_argument("--model_dir", default="")
+    p.add_argument("--name", default="")
+    p.add_argument("--output_path", default=".")
+    p.add_argument("--data_root", default="path/to/data/")
+    p.add_argument("--optimizer", default="adam")
+    p.add_argument("--niter", type=int, default=601)
+    p.add_argument("--seed", default=1, type=int)
+    p.add_argument("--epoch_size", type=int, default=300)
+    p.add_argument("--image_width", type=int, default=64)
+    p.add_argument("--channels", default=1, type=int)
+    p.add_argument("--dataset", default="kth")
+    p.add_argument("--n_past", type=int, default=5)
+    # the reference's `type=bool` makes any string truthy; use a real flag
+    # pair with the same default=True semantics
+    p.add_argument("--ft", dest="ft", action="store_true", default=True)
+    p.add_argument("--no_ft", dest="ft", action="store_false")
+    p.add_argument("--n_future", type=int, default=10)
+    p.add_argument("--n_eval", type=int, default=15)
+    p.add_argument("--rnn_size", type=int, default=256)
+    p.add_argument("--predictor_rnn_layers", type=int, default=2)
+    p.add_argument("--z_dim", type=int, default=10)
+    p.add_argument("--g_dim", type=int, default=90)
+    p.add_argument("--model", default="dcgan", choices=["dcgan", "vgg"])
+    p.add_argument("--data_threads", type=int, default=5)
+    p.add_argument("--last_frame_skip", action="store_true")
+    p.add_argument("--num_digits", type=int, default=2)
+    # TPU-native extras
+    p.add_argument("--mesh", type=int, default=0,
+                   help="data-parallel device count (0 = all)")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--ckpt_every", type=int, default=4)
+    p.add_argument("--trace_dir", default="")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from dvg_tpu.config import DVGConfig
+    from dvg_tpu.data import Loader, load_dataset
+    from dvg_tpu.generate.rollout import make_rollout_fns
+    from dvg_tpu.parallel import make_mesh, shard_batch
+    from dvg_tpu.train import (init_train_state, load_checkpoint,
+                               make_train_step, save_checkpoint)
+    from dvg_tpu.utils import MetricLogger, StepTimer, save_gif, save_image
+
+    import dvg_tpu
+    dvg_tpu.enable_compilation_cache()
+
+    cfg = DVGConfig(**{k: v for k, v in vars(args).items()
+                       if k in DVGConfig.__dataclass_fields__})
+    os.makedirs(cfg.log_dir, exist_ok=True)
+    logger = MetricLogger(cfg.log_dir)
+
+    # ---- model / state -----------------------------------------------------
+    key = jax.random.PRNGKey(cfg.seed)
+    model, state, opts = init_train_state(cfg, key)
+    start_epoch = 0
+    ckpt_path = os.path.join(cfg.output_path, "model.ckpt")
+    if args.resume and os.path.exists(ckpt_path):
+        saved_cfg, state = load_checkpoint(ckpt_path, target_state=state)
+        start_epoch = int(state.step) // cfg.epoch_size
+        print(f"resumed from {ckpt_path} at epoch {start_epoch}")
+
+    # ---- data ---------------------------------------------------------------
+    train_ds, _ = load_dataset(cfg, seq_len=cfg.seq_len_train)
+    # the qualitative plot rolls out n_eval frames (train.py:256-335)
+    _, test_ds = load_dataset(cfg, seq_len=max(cfg.n_eval, cfg.seq_len_train))
+    n_dev = args.mesh or len(jax.devices())
+    mesh = make_mesh([("data", n_dev)]) if n_dev > 1 else None
+    sharding = shard_batch(mesh) if mesh else None
+    train_loader = Loader(train_ds, cfg.batch_size, seed=cfg.seed,
+                          num_threads=cfg.data_threads, sharding=sharding)
+    test_loader = Loader(test_ds, cfg.batch_size, seed=cfg.seed + 1,
+                         shuffle=False, num_threads=cfg.data_threads)
+
+    # ---- step ----------------------------------------------------------------
+    step_fn = make_train_step(model, cfg, opts, mesh=mesh)
+    plot_fns = make_rollout_fns(model, cfg, nsample=5)
+    timer = StepTimer()
+
+    # ---- epoch loop (reference train.py:340-392) ----------------------------
+    for epoch in range(start_epoch, cfg.niter):
+        epoch_mse = 0.0
+        for i in range(cfg.epoch_size):
+            x = train_loader.next_batch(epoch * cfg.epoch_size + i)
+            if sharding is None:
+                x = jnp.asarray(x)
+            timer.start()
+            state, metrics = step_fn(state, x)
+            timer.stop(metrics["loss"])
+            epoch_mse += float(metrics["mse_latent_per_frame"]) + float(
+                metrics.get("ft_mse_latent", 0.0))
+        logger.log(epoch, {"epoch_mse": epoch_mse / cfg.epoch_size,
+                           "frames_seen": (epoch + 1) * cfg.epoch_size
+                           * cfg.batch_size,
+                           "step_s": timer.mean}, kind="epoch")
+        print("[%02d] mse loss: %.5f (%d)" % (
+            epoch, epoch_mse / cfg.epoch_size,
+            epoch * cfg.epoch_size * cfg.batch_size))
+
+        if epoch % args.ckpt_every == 0:
+            _plot(model, cfg, state, plot_fns, test_loader, epoch, jax, jnp,
+                  save_gif, save_image)
+            save_checkpoint(ckpt_path, cfg, state)
+        if epoch % 10 == 0:
+            print("log dir: %s" % cfg.log_dir)
+    return 0
+
+
+def _plot(model, cfg, state, plot_fns, test_loader, epoch, jax, jnp,
+          save_gif, save_image):
+    """Training-time qualitative eval (reference plot, train.py:256-335):
+    5 samples, GP fork at frame 10, best-of-5-by-MSE grid + GIF."""
+    import numpy as np
+    x = jnp.asarray(test_loader.next_batch(epoch))
+    cache = model.gp_cache(state.params)
+    key = jax.random.PRNGKey(epoch)
+    gen = plot_fns.plot_samples(state.params, state.stats, cache, x, key)
+    gen = np.asarray(gen)               # (5, n_eval, B, H, W, C)
+    gt = np.asarray(x)[:cfg.n_eval]
+    nrow = min(cfg.batch_size, 10)
+    to_plot, gifs = [], [[] for _ in range(cfg.n_eval)]
+    for b in range(nrow):
+        to_plot.append([gt[t, b] for t in range(cfg.n_eval)])
+        mse_s = ((gen[:, :cfg.n_eval, b] - gt[None, :, b]) ** 2
+                 ).sum(axis=(1, 2, 3, 4))
+        order = [int(np.argmin(mse_s))] + list(
+            np.random.RandomState(epoch).randint(0, gen.shape[0], 4))
+        for s in order:
+            to_plot.append([gen[s, t, b] for t in range(cfg.n_eval)])
+        for t in range(cfg.n_eval):
+            gifs[t].append([gt[t, b]] + [gen[s, t, b] for s in order])
+    save_image(f"{cfg.output_path}/sample_{epoch}.png", to_plot)
+    save_gif(f"{cfg.output_path}/sample_{epoch}.gif", gifs)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

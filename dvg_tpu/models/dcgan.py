@@ -57,18 +57,19 @@ def encoder_stats_init(dim: int, nc: int = 1, image_width: int = 64) -> Dict:
     }
 
 
-def encoder_apply(params, stats, x, train: bool):
+def encoder_apply(params, stats, x, train: bool, axis_name=None):
     """x: (B, H, W, C) → ((h: (B, dim), skips: list of feature maps), stats)."""
     skips = []
     new_stage_stats = []
     h = x
     for p, s in zip(params["stages"], stats["stages"]):
         h, ns = L.conv_block_apply(p, s, h, train, stride=2, padding=1,
-                                   act=L.leaky_relu)
+                                   act=L.leaky_relu, axis_name=axis_name)
         skips.append(h)
         new_stage_stats.append(ns)
     h, head_stats = L.conv_block_apply(params["head"], stats["head"], h, train,
-                                       stride=1, padding=0, act=jnp.tanh)
+                                       stride=1, padding=0, act=jnp.tanh,
+                                       axis_name=axis_name)
     vec = h.reshape(h.shape[0], -1)
     new_stats = {"stages": new_stage_stats, "head": head_stats}
     return (vec, skips), new_stats
@@ -108,18 +109,19 @@ def decoder_stats_init(dim: int, nc: int = 1, image_width: int = 64) -> Dict:
     }
 
 
-def decoder_apply(params, stats, vec, skips, train: bool, image_width: int = 64):
+def decoder_apply(params, stats, vec, skips, train: bool, image_width: int = 64,
+                  axis_name=None):
     """(vec: (B, dim), skips from encoder) → (x: (B, H, W, nc), stats)."""
     final_act = jnp.tanh if image_width == 64 else jax.nn.sigmoid
     d = vec.reshape(vec.shape[0], 1, 1, vec.shape[-1])
     d, head_stats = L.upconv_block_apply(params["head"], stats["head"], d, train,
                                          stride=1, torch_padding=0,
-                                         act=L.leaky_relu)
+                                         act=L.leaky_relu, axis_name=axis_name)
     new_stage_stats = []
     for p, s, skip in zip(params["stages"], stats["stages"], reversed(skips)):
         d = jnp.concatenate([d, skip], axis=-1)
         d, ns = L.upconv_block_apply(p, s, d, train, stride=2, torch_padding=1,
-                                     act=L.leaky_relu)
+                                     act=L.leaky_relu, axis_name=axis_name)
         new_stage_stats.append(ns)
     d = jnp.concatenate([d, skips[0]], axis=-1)
     out = L.conv_transpose2d_apply(params["final"], d, stride=2, torch_padding=1)

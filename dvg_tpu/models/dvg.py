@@ -55,15 +55,17 @@ class DVGModel:
         return params, stats
 
     # -- pieces (all pure) ----------------------------------------------------
-    def encode(self, params, stats, x, train: bool):
-        """x: (B,H,W,C) → ((h (B,g_dim), skips), new encoder stats)."""
+    def encode(self, params, stats, x, train: bool, axis_name=None):
+        """x: (B,H,W,C) → ((h (B,g_dim), skips), new encoder stats).
+        `axis_name` (shard_map DP): global-batch BN statistics."""
         return self.backbone.encoder_apply(params["encoder"], stats["encoder"],
-                                           x, train)
+                                           x, train, axis_name=axis_name)
 
-    def decode(self, params, stats, h, skips, train: bool):
+    def decode(self, params, stats, h, skips, train: bool, axis_name=None):
         """(h (B,g_dim), skips) → (x (B,H,W,C), new decoder stats)."""
         return self.backbone.decoder_apply(params["decoder"], stats["decoder"],
-                                           h, skips, train)
+                                           h, skips, train,
+                                           axis_name=axis_name)
 
     def lstm_hidden_init(self, batch_size: int):
         return rnn_mod.lstm_hidden_init(batch_size, self.cfg.rnn_size,

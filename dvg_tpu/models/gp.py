@@ -272,10 +272,22 @@ def cached_mean_var(cache: GPCache, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return mean, jnp.maximum(var, 1e-10)
 
 
-def cached_rsample(cache: GPCache, x, key) -> jnp.ndarray:
-    """Marginal reparameterized sample of likelihood(gp(x)) via the cache."""
+def cached_rsample(cache: GPCache, x, key, row_ids=None) -> jnp.ndarray:
+    """Marginal reparameterized sample of likelihood(gp(x)) via the cache.
+
+    With `row_ids` (shape (B,) int32), the noise for batch row b derives
+    from fold_in(key, row_ids[b]) — so a rollout over any SUBSET of batch
+    rows reproduces exactly the draws of the full-batch rollout (the
+    re-roll-selected-samples generation protocol relies on this)."""
     mean, var = cached_mean_var(cache, x)
-    eps = jax.random.normal(key, mean.shape, mean.dtype)
+    if row_ids is None:
+        eps = jax.random.normal(key, mean.shape, mean.dtype)
+    else:
+        row_keys = jax.vmap(lambda r: jax.random.fold_in(key, r))(row_ids)
+        eps_bd = jax.vmap(
+            lambda k: jax.random.normal(k, (mean.shape[0],), mean.dtype)
+        )(row_keys)                                   # (B, D)
+        eps = eps_bd.T
     return mean + jnp.sqrt(var + cache.noise[:, None]) * eps
 
 

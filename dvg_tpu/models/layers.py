@@ -157,14 +157,25 @@ def batchnorm_stats_init(ch: int) -> Params:
 
 def batchnorm_apply(p: Params, stats: Params, x: jnp.ndarray, train: bool,
                     momentum: float = BN_MOMENTUM,
-                    eps: float = BN_EPS) -> Tuple[jnp.ndarray, Params]:
-    """Normalize over all axes but the last (channel). Returns (y, new_stats)."""
+                    eps: float = BN_EPS,
+                    axis_name: str = None) -> Tuple[jnp.ndarray, Params]:
+    """Normalize over all axes but the last (channel). Returns (y, new_stats).
+
+    Under shard_map data parallelism, pass `axis_name` to compute the batch
+    statistics over the GLOBAL batch (cross-chip pmean) — exact single-chip
+    semantics at any device count."""
     if train:
         axes = tuple(range(x.ndim - 1))
         mean = jnp.mean(x, axis=axes)
-        var = jnp.var(x, axis=axes)
+        sq = jnp.mean(x * x, axis=axes)
         n = x.size // x.shape[-1]
-        unbiased = var * (n / max(n - 1, 1))
+        if axis_name is not None:
+            mean = lax.pmean(mean, axis_name)
+            sq = lax.pmean(sq, axis_name)
+            n = n * lax.psum(1, axis_name)
+        var = sq - mean * mean
+        unbiased = var * (n / max(n - 1, 1)) if isinstance(n, int) \
+            else var * (n / jnp.maximum(n - 1, 1))
         new_stats = {
             "mean": (1 - momentum) * stats["mean"] + momentum * mean,
             "var": (1 - momentum) * stats["var"] + momentum * unbiased,
@@ -228,9 +239,11 @@ def conv_block_stats_init(out_ch):
     return {"bn": batchnorm_stats_init(out_ch)}
 
 
-def conv_block_apply(p, stats, x, train, *, stride, padding, act):
+def conv_block_apply(p, stats, x, train, *, stride, padding, act,
+                     axis_name=None):
     y = conv2d_apply(p["conv"], x, stride=stride, padding=padding)
-    y, new_bn = batchnorm_apply(p["bn"], stats["bn"], y, train)
+    y, new_bn = batchnorm_apply(p["bn"], stats["bn"], y, train,
+                                axis_name=axis_name)
     return act(y), {"bn": new_bn}
 
 
@@ -242,8 +255,10 @@ def upconv_block_init(key, in_ch, out_ch, k):
     }
 
 
-def upconv_block_apply(p, stats, x, train, *, stride, torch_padding, act):
+def upconv_block_apply(p, stats, x, train, *, stride, torch_padding, act,
+                       axis_name=None):
     y = conv_transpose2d_apply(p["conv"], x, stride=stride,
                                torch_padding=torch_padding)
-    y, new_bn = batchnorm_apply(p["bn"], stats["bn"], y, train)
+    y, new_bn = batchnorm_apply(p["bn"], stats["bn"], y, train,
+                                axis_name=axis_name)
     return act(y), {"bn": new_bn}

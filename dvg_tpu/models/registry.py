@@ -45,9 +45,10 @@ def get_backbone(model: str = "dcgan", image_width: int = 64) -> Backbone:
     def dec_stats(dim, nc):
         return mod.decoder_stats_init(dim, nc, image_width)
 
-    def dec_apply(params, stats, vec, skips, train):
+    def dec_apply(params, stats, vec, skips, train, axis_name=None):
         return mod.decoder_apply(params, stats, vec, skips, train,
-                                 image_width=image_width)
+                                 image_width=image_width,
+                                 axis_name=axis_name)
 
     return Backbone(
         encoder_init=enc_init,

@@ -57,11 +57,11 @@ def _group_stats_init(chain: List[int]) -> List[Dict]:
     return [L.conv_block_stats_init(co) for co in chain[1:]]
 
 
-def _group_apply(params, stats, x, train):
+def _group_apply(params, stats, x, train, axis_name=None):
     new_stats = []
     for p, s in zip(params, stats):
         x, ns = L.conv_block_apply(p, s, x, train, stride=1, padding=1,
-                                   act=L.leaky_relu)
+                                   act=L.leaky_relu, axis_name=axis_name)
         new_stats.append(ns)
     return x, new_stats
 
@@ -87,19 +87,20 @@ def encoder_stats_init(dim: int, nc: int = 1, image_width: int = 64) -> Dict:
     }
 
 
-def encoder_apply(params, stats, x, train: bool):
+def encoder_apply(params, stats, x, train: bool, axis_name=None):
     skips = []
     new_group_stats = []
     h = x
     for i, (p, s) in enumerate(zip(params["groups"], stats["groups"])):
         if i > 0:
             h = L.max_pool2d(h, 2, 2)
-        h, ns = _group_apply(p, s, h, train)
+        h, ns = _group_apply(p, s, h, train, axis_name)
         skips.append(h)
         new_group_stats.append(ns)
     h = L.max_pool2d(h, 2, 2)
     h, head_stats = L.conv_block_apply(params["head"], stats["head"], h, train,
-                                       stride=1, padding=0, act=jnp.tanh)
+                                       stride=1, padding=0, act=jnp.tanh,
+                                       axis_name=axis_name)
     vec = h.reshape(h.shape[0], -1)
     return (vec, skips), {"groups": new_group_stats, "head": head_stats}
 
@@ -126,16 +127,17 @@ def decoder_stats_init(dim: int, nc: int = 1, image_width: int = 64) -> Dict:
     }
 
 
-def decoder_apply(params, stats, vec, skips, train: bool, image_width: int = 64):
+def decoder_apply(params, stats, vec, skips, train: bool, image_width: int = 64,
+                  axis_name=None):
     d = vec.reshape(vec.shape[0], 1, 1, vec.shape[-1])
     d, head_stats = L.upconv_block_apply(params["head"], stats["head"], d, train,
                                          stride=1, torch_padding=0,
-                                         act=L.leaky_relu)
+                                         act=L.leaky_relu, axis_name=axis_name)
     new_group_stats = []
     for p, s, skip in zip(params["groups"], stats["groups"], reversed(skips)):
         d = L.upsample_nearest2d(d, 2)
         d = jnp.concatenate([d, skip], axis=-1)
-        d, ns = _group_apply(p, s, d, train)
+        d, ns = _group_apply(p, s, d, train, axis_name)
         new_group_stats.append(ns)
     out = L.conv_transpose2d_apply(params["final"], d, stride=1, torch_padding=1)
     out = jax.nn.sigmoid(out)

@@ -1,0 +1,87 @@
+"""Checkpointing: full-train-state msgpack pytree checkpoints + config.
+
+Reference contract (/root/reference/train.py:380-388,
+generate_frames.py:43-72):
+  * saved every 4 epochs to a single rotating file in `log_dir`;
+  * generation loads the checkpoint, REPLACES its live config with the
+    saved one, then overrides n_eval=105, n_future=100, batch_size=50
+    (the §3.5 restore-then-override contract → DVGConfig.generation_override);
+  * the reference cannot resume training (no encoder/decoder optimizer
+    state is saved, and train.py never loads); here the FULL TrainState
+    (params + BN stats + all four optimizer states + step counter) is
+    checkpointed, so training resume is exact.
+
+Format: one msgpack blob via flax.serialization holding
+{config_json, params, stats, opt_states, step}. Pure host-side bytes — no
+pickled code objects (the reference pickles whole nn.Modules), so
+checkpoints are portable across framework versions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+from dvg_tpu.config import DVGConfig
+
+CKPT_NAME = "model.ckpt"
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda a: np.asarray(a), tree)
+
+
+def save_checkpoint(path: str, cfg: DVGConfig, state) -> str:
+    """state: TrainState (or any pytree with params/stats/opt_states/step)."""
+    if os.path.isdir(path) or not path.endswith(".ckpt"):
+        os.makedirs(path, exist_ok=True)
+        path = os.path.join(path, CKPT_NAME)
+    else:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {
+        "config": json.dumps(cfg.to_dict()),
+        # to_state_dict normalizes NamedTuples (optax states) and lists into
+        # msgpack-serializable nested dicts; from_state_dict reverses it
+        "params": serialization.to_state_dict(_to_host(state.params)),
+        "stats": serialization.to_state_dict(_to_host(state.stats)),
+        "opt_states": serialization.to_state_dict(_to_host(state.opt_states)),
+        "step": np.asarray(state.step),
+    }
+    blob = serialization.msgpack_serialize(payload)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)  # atomic rotate (reference overwrites model.pth)
+    return path
+
+
+def load_checkpoint(path: str, target_state=None
+                    ) -> Tuple[DVGConfig, Optional[object]]:
+    """Returns (saved config, restored state).
+
+    If `target_state` (a freshly-initialized TrainState built from the saved
+    config) is given, its structure receives the saved leaves — including
+    optimizer states, enabling exact train resume. If omitted, returns the
+    raw dict payload in its place (params/stats reachable by key)."""
+    if os.path.isdir(path):
+        path = os.path.join(path, CKPT_NAME)
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    cfg = DVGConfig.from_dict(json.loads(payload["config"]))
+    if target_state is None:
+        return cfg, payload
+    restored = type(target_state)(
+        params=serialization.from_state_dict(target_state.params,
+                                             payload["params"]),
+        stats=serialization.from_state_dict(target_state.stats,
+                                            payload["stats"]),
+        opt_states=serialization.from_state_dict(target_state.opt_states,
+                                                 payload["opt_states"]),
+        step=jax.numpy.asarray(payload["step"]),
+    )
+    return cfg, restored

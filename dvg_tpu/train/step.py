@@ -1,0 +1,416 @@
+"""The jitted DVG train step: three gradient passes, fully batched.
+
+Reference semantics reproduced (/root/reference/train.py):
+
+  * **joint pass** (`train_model`, train.py:200-248): teacher-forced rollout
+    over t = 1..T-1 computing five loss terms —
+      loss = 1000·ae_mse + 0.001·mse + 0.01·mse_latent + 0.001·mse_gp
+             + 0.0001·max_ll.sum()                       (train.py:239)
+    then all four optimizers step (train.py:240-245).
+  * **LSTM finetune pass** (`train_frame_predictor`, train.py:175-198):
+    same rollout, loss = Σ mse_latent, only the frame_predictor steps.
+  * **GP finetune pass** (`train_GP_Frame_predictor`, train.py:146-172):
+    loss = Σ(-ELBO), only gp+likelihood step; h_target detached (irrelevant
+    here since only GP params receive gradient anyway).
+  Both finetune passes run when cfg.ft (train.py:250-253, default on).
+
+TPU-first restructuring (what makes this ≫ the per-frame Python loop):
+
+  * the T-frame encoder sweep is ONE vmapped conv pass — each frame still
+    normalizes with its own per-frame BatchNorm batch statistics (matching
+    torch train-mode BN applied per frame), but the convs land on the MXU
+    as a single (T·B)-batch program;
+  * the 3·(T-1) decoder calls of the joint pass (x_pred / x_target_pred /
+    x_pred_gp per frame, train.py:227-232) are ONE vmapped conv pass;
+  * the LSTM is teacher-forced, so its inputs don't depend on its outputs:
+    embed/output projections batch over all T, only the cell recurrence is
+    a `lax.scan`;
+  * the per-frame GP ELBO sum collapses analytically:
+      Σ_t [mean_B ll_t − KL/B] = (T−1) · elbo(all (T−1)·B pairs, num_data=B)
+    so the GP sees one batched (90-task) Cholesky per pass, not T−1;
+  * BatchNorm running statistics are folded in closed form: torch applies
+    `r ← (1−m)·r + m·s_k` once per module call in a fixed order; given the
+    per-call batch stats s_k this telescopes to
+      r_N = (1−m)^N·r_0 + Σ_k m·(1−m)^(N−1−k)·s_k
+    (`_fold_stats`), reproducing the reference's EMA exactly — including
+    the quirk that the joint pass encodes interior frames twice per step
+    (x[i−1] and x[i], train.py:214-215), so interior frames carry double
+    EMA weight.
+
+Documented deviation: torch lets GP gradients from the previous batch's
+finetune pass leak into the next joint-pass `optimizer.step()` because
+`train_model` never zeroes the GP optimizer (train.py:200-207 zero only
+encoder/decoder/frame_predictor). We compute fresh gradients per pass —
+the leak is an accumulation artifact of `.backward()`, not a design.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dvg_tpu.config import DVGConfig
+from dvg_tpu.models import gp as gp_mod
+from dvg_tpu.models import layers as L
+from dvg_tpu.models import rnn as rnn_mod
+from dvg_tpu.models.dvg import DVGModel
+from dvg_tpu.train.optim import (Optimizers, make_optimizers, merge_params,
+                                 split_params)
+
+
+# ---------------------------------------------------------------------------
+# BatchNorm running-stat EMA folding
+# ---------------------------------------------------------------------------
+
+def _ema_weights(order, n_slots: int, momentum: float):
+    """weights[j] = Σ_{k: order[k]==j} m·(1−m)^(N−1−k);  decay = (1−m)^N."""
+    n = len(order)
+    w = np.zeros((n_slots,), np.float32)
+    for k, j in enumerate(order):
+        w[j] += momentum * (1.0 - momentum) ** (n - 1 - k)
+    return jnp.asarray(w), np.float32((1.0 - momentum) ** n)
+
+
+def _fold_stats(old_stats, per_call_stats, weights, decay,
+                momentum: float = L.BN_MOMENTUM):
+    """Fold per-call BN stats (leading call axis) into the running stats."""
+
+    def leaf(o, pc):
+        batch = (pc - (1.0 - momentum) * o) / momentum
+        return decay * o + jnp.tensordot(weights, batch, axes=1)
+
+    return jax.tree.map(leaf, old_stats, per_call_stats)
+
+
+# ---------------------------------------------------------------------------
+# batched module sweeps
+# ---------------------------------------------------------------------------
+
+def encode_frames(model: DVGModel, params, stats, x, axis_name=None):
+    """Encode all T frames in one vmapped pass (train-mode BN per frame).
+
+    x: (T, B, H, W, C) → (h (T,B,G), skips [per-stage (T,B,h,w,c)],
+    per-frame stats with leading T axis). Under shard_map DP, `axis_name`
+    makes the per-frame BN statistics global-batch."""
+
+    def enc(xt):
+        return model.encode(params, stats, xt, train=True,
+                            axis_name=axis_name)
+
+    (h, skips), per_frame_stats = jax.vmap(enc)(x)
+    return h, skips, per_frame_stats
+
+
+def fold_encoder_stats(stats, per_frame_stats, seq_len: int, repeats: int = 2):
+    """Joint/finetune passes encode frames in order
+    [x0, x1, x1, x2, x2, ..., x_{T-1}] (train.py:214-215: x[i-1] then x[i]
+    per step) — interior frames appear `repeats` times."""
+    # encode sequence per step i=1..T-1: x[i-1], x[i] → [0,1,1,2,2,...,T-2,T-2,T-1]
+    order = [0]
+    for i in range(1, seq_len):
+        order.extend([i] * (repeats if i < seq_len - 1 else 1))
+    w, decay = _ema_weights(order, seq_len, L.BN_MOMENTUM)
+    return {"encoder": _fold_stats(stats["encoder"], per_frame_stats, w, decay),
+            "decoder": stats["decoder"]}
+
+
+def decode_variants(model: DVGModel, params, stats, latents, skips_sel,
+                    axis_name=None):
+    """Decode a (V, T-1, B, G) stack of latent variants against gathered
+    skips (each (T-1, B, h, w, c)) in one vmapped pass with per-call BN.
+
+    Returns (frames (V, T-1, B, H, W, C), folded decoder stats in the
+    reference call order: per step i the V variants decode back-to-back
+    (train.py:227-232))."""
+    v, tm1 = latents.shape[0], latents.shape[1]
+    lat_flat = latents.reshape((v * tm1,) + latents.shape[2:])
+    skips_flat = [jnp.broadcast_to(s[None], (v,) + s.shape)
+                  .reshape((v * tm1,) + s.shape[1:]) for s in skips_sel]
+
+    def dec(h, *sk):
+        return model.decode(params, stats, h, list(sk), train=True,
+                            axis_name=axis_name)
+
+    frames, per_call = jax.vmap(dec)(lat_flat, *skips_flat)
+    frames = frames.reshape((v, tm1) + frames.shape[1:])
+
+    # reference call order: k = (i-1)*V + variant → our flat axis is
+    # variant-major (s*tm1 + i), so map positions accordingly
+    n = v * tm1
+    pos = np.empty((n,), np.int64)
+    for i in range(tm1):
+        for s in range(v):
+            pos[s * tm1 + i] = i * v + s   # time-major call index
+    m = L.BN_MOMENTUM
+    w_by_call_order = m * (1.0 - m) ** (n - 1 - pos)
+    w = jnp.asarray(w_by_call_order, jnp.float32)
+    decay = np.float32((1.0 - m) ** n)
+    dec_stats = _fold_stats(stats["decoder"], per_call, w, decay)
+    return frames, dec_stats
+
+
+def lstm_teacher_forced(params, h_in):
+    """Run the latent LSTM over teacher-forced inputs h_in (T-1, B, G) →
+    predictions (T-1, B, G). Hidden init per sequence (lstm.py:21-27)."""
+    tm1, b = h_in.shape[0], h_in.shape[1]
+    n_layers = len(params["cells"])
+    hidden0 = rnn_mod.lstm_hidden_init(b, params["cells"][0]["w_hh"].shape[0],
+                                       n_layers)
+
+    def step(hidden, x_t):
+        out, hidden = rnn_mod.lstm_apply(params, hidden, x_t)
+        return hidden, out
+
+    _, preds = jax.lax.scan(step, hidden0, h_in)
+    return preds
+
+
+def skip_gather(skips, seq_len: int, n_past: int, last_frame_skip: bool):
+    """Per-step skip source for steps i = 1..T-1: frame i-1 while i < n_past,
+    frozen at frame n_past-2 afterwards (train.py:217-220)."""
+    if last_frame_skip:
+        idx = np.arange(0, seq_len - 1)
+    else:
+        idx = np.minimum(np.arange(0, seq_len - 1), max(n_past - 2, 0))
+    idx = jnp.asarray(idx)
+    return [s[idx] for s in skips]
+
+
+# ---------------------------------------------------------------------------
+# loss passes
+# ---------------------------------------------------------------------------
+
+def _gp_pairs(h_all):
+    """(T,B,G) → per-step GP task-layout pairs: x (T-1, G, B, 1),
+    y (T-1, G, B).
+
+    Time stays a leading vmap axis and the batch axis is NEVER merged —
+    merging (T-1, B) into one axis would reshape across the sharded batch
+    dimension and force the SPMD partitioner to replicate everything
+    downstream. Σ_t elbo_t(num_data=B) is exactly the reference's per-frame
+    mll sum (train.py:225-226)."""
+    x = jnp.swapaxes(h_all[:-1], 1, 2)[..., None]
+    y = jnp.swapaxes(h_all[1:], 1, 2)
+    return x, y
+
+
+def joint_loss(params, stats, x, model: DVGModel, cfg: DVGConfig,
+               axis_name=None):
+    """The train_model loss (train.py:213-239). Returns (loss, aux).
+
+    Under shard_map DP (`axis_name`): BN stats are global-batch, the GP
+    num_data stays the GLOBAL batch size, and every loss term is pmean'd —
+    so the pmean's psum-backward makes local gradients exactly the global-
+    batch gradients."""
+    seq_len = x.shape[0]
+    b = x.shape[1]
+    if axis_name is not None:
+        b = b * jax.lax.psum(1, axis_name)
+    tm1 = seq_len - 1
+
+    h_all, skips, enc_per_frame = encode_frames(model, params, stats, x,
+                                                axis_name)
+    h_pred = lstm_teacher_forced(params["frame_predictor"], h_all[:-1])
+    h_target = h_all[1:]
+
+    gx, gy = _gp_pairs(h_all)                           # (T-1, G, B, 1/·)
+    elbo_t = jax.vmap(lambda xt, yt: gp_mod.elbo(
+        params["gp"], params["likelihood"], xt, yt, num_data=b))(gx, gy)
+    max_ll_sum = -jnp.sum(elbo_t)
+    gp_mean_t = jax.vmap(
+        lambda xt: gp_mod.posterior(params["gp"], xt).mean)(gx)  # (T-1,G,B)
+    gp_mean = jnp.swapaxes(gp_mean_t, 1, 2)             # (T-1, B, G)
+
+    skips_sel = skip_gather(skips, seq_len, cfg.n_past, cfg.last_frame_skip)
+    latents = jnp.stack([h_pred, h_target, gp_mean])    # (3, T-1, B, G)
+    frames, dec_stats = decode_variants(model, params, stats, latents,
+                                        skips_sel, axis_name)
+    x_true = x[1:]
+    mse = jnp.mean((frames[0] - x_true) ** 2) * tm1
+    ae_mse = jnp.mean((frames[1] - x_true) ** 2) * tm1
+    mse_gp = jnp.mean((frames[2] - x_true) ** 2) * tm1
+    mse_latent = jnp.mean((h_pred - h_target) ** 2) * tm1
+    if axis_name is not None:
+        mse, ae_mse, mse_gp, mse_latent, max_ll_sum = jax.tree.map(
+            lambda v: jax.lax.pmean(v, axis_name),
+            (mse, ae_mse, mse_gp, mse_latent, max_ll_sum))
+
+    loss = (1000.0 * ae_mse + 0.001 * mse + 0.01 * mse_latent
+            + 0.001 * mse_gp + 0.0001 * max_ll_sum)
+
+    new_stats = fold_encoder_stats(stats, enc_per_frame, seq_len)
+    new_stats["decoder"] = dec_stats
+    aux = {
+        "stats": new_stats,
+        "metrics": {
+            "loss": loss, "mse": mse, "ae_mse": ae_mse, "mse_gp": mse_gp,
+            "mse_latent": mse_latent, "max_ll": max_ll_sum,
+            # reference's printed epoch metric (train.py:248, 368)
+            "mse_latent_per_frame": mse_latent / seq_len,
+        },
+    }
+    return loss, aux
+
+
+def lstm_finetune_loss(fp_params, frozen_params, stats, x, model, cfg,
+                       axis_name=None):
+    """train_frame_predictor (train.py:175-198): Σ mse_latent, gradient to
+    the frame_predictor only (encoder receives grads in torch but they are
+    zeroed unstepped — equivalent to stop_gradient here)."""
+    params = dict(frozen_params, frame_predictor=fp_params)
+    h_all, _, enc_per_frame = encode_frames(model, params, stats, x,
+                                            axis_name)
+    h_all = jax.lax.stop_gradient(h_all)
+    h_pred = lstm_teacher_forced(params["frame_predictor"], h_all[:-1])
+    tm1 = x.shape[0] - 1
+    mse_latent = jnp.mean((h_pred - h_all[1:]) ** 2) * tm1
+    if axis_name is not None:
+        mse_latent = jax.lax.pmean(mse_latent, axis_name)
+    new_stats = fold_encoder_stats(stats, enc_per_frame, x.shape[0])
+    return mse_latent, {"stats": new_stats,
+                        "metrics": {"ft_mse_latent": mse_latent}}
+
+
+def gp_finetune_loss(gp_group, frozen_params, stats, x, model, cfg,
+                     axis_name=None):
+    """train_GP_Frame_predictor (train.py:146-172): Σ(-ELBO), gradient to
+    gp + likelihood only; exact toeplitz-free dense math throughout."""
+    params = dict(frozen_params, gp=gp_group["gp"],
+                  likelihood=gp_group["likelihood"])
+    b = x.shape[1]
+    if axis_name is not None:
+        b = b * jax.lax.psum(1, axis_name)
+    tm1 = x.shape[0] - 1
+    h_all, _, enc_per_frame = encode_frames(model, params, stats, x,
+                                            axis_name)
+    h_all = jax.lax.stop_gradient(h_all)
+    gx, gy = _gp_pairs(h_all)
+    elbo_t = jax.vmap(lambda xt, yt: gp_mod.elbo(
+        params["gp"], params["likelihood"], xt, yt, num_data=b))(gx, gy)
+    loss = -jnp.sum(elbo_t)
+    if axis_name is not None:
+        loss = jax.lax.pmean(loss, axis_name)
+    new_stats = fold_encoder_stats(stats, enc_per_frame, x.shape[0])
+    return loss, {"stats": new_stats, "metrics": {"ft_gp_nll": loss}}
+
+
+# ---------------------------------------------------------------------------
+# train state + step
+# ---------------------------------------------------------------------------
+
+class TrainState(NamedTuple):
+    params: Dict[str, Any]
+    stats: Dict[str, Any]
+    opt_states: Dict[str, Any]
+    step: jnp.ndarray
+
+
+def init_train_state(cfg: DVGConfig, key) -> Tuple[DVGModel, TrainState,
+                                                   Optimizers]:
+    model = DVGModel(cfg)
+    params, stats = model.init(key)
+    opts = make_optimizers(cfg)
+    groups = split_params(params)
+    opt_states = {name: getattr(opts, name).init(groups[name])
+                  for name in groups}
+    return model, TrainState(params, stats, opt_states,
+                             jnp.zeros((), jnp.int32)), opts
+
+
+def _apply_group(opts: Optimizers, name: str, grads_group, opt_state,
+                 params_group, step):
+    opt = getattr(opts, name)
+    updates, new_state = opt.update(grads_group, opt_state, params_group)
+    return optax.apply_updates(params_group, updates), new_state
+
+
+def make_train_step_fn(model: DVGModel, cfg: DVGConfig, opts: Optimizers,
+                       axis_name=None):
+    """The UNJITTED train-step body (state, x) -> (state, metrics): joint
+    pass + (optional) two finetune passes, matching the reference's
+    per-batch sequence train_model → train_frame_predictor →
+    train_GP_Frame_predictor (train.py:358-360, 250-253). Callers jit it
+    with whatever shardings they need (make_train_step, __graft_entry__).
+
+    With `axis_name`, the body is shard_map-ready: losses are pmean'd over
+    the axis (so their backward psums the gradients) and BN statistics are
+    global-batch — identical updates on every device."""
+
+    def step_fn(state: TrainState, x) -> Tuple[TrainState, Dict]:
+        params, stats = state.params, state.stats
+        opt_states = dict(state.opt_states)
+        metrics = {}
+
+        # ---- pass 1: joint ------------------------------------------------
+        (loss, aux), grads = jax.value_and_grad(
+            joint_loss, has_aux=True)(params, stats, x, model, cfg,
+                                      axis_name)
+        stats = aux["stats"]
+        metrics.update(aux["metrics"])
+        g_groups = split_params(grads)
+        p_groups = split_params(params)
+        for name in g_groups:
+            p_groups[name], opt_states[name] = _apply_group(
+                opts, name, g_groups[name], opt_states[name],
+                p_groups[name], state.step)
+        params = merge_params(p_groups)
+
+        if cfg.ft:
+            # ---- pass 2: LSTM-only ---------------------------------------
+            (ft_l, aux2), g_fp = jax.value_and_grad(
+                lstm_finetune_loss, has_aux=True)(
+                    params["frame_predictor"], params, stats, x, model, cfg,
+                    axis_name)
+            stats = aux2["stats"]
+            metrics.update(aux2["metrics"])
+            fp_new, opt_states["frame_predictor"] = _apply_group(
+                opts, "frame_predictor", g_fp,
+                opt_states["frame_predictor"], params["frame_predictor"],
+                state.step)
+            params = dict(params, frame_predictor=fp_new)
+
+            # ---- pass 3: GP-only -------------------------------------------
+            gp_group = {"gp": params["gp"], "likelihood": params["likelihood"]}
+            (gp_l, aux3), g_gp = jax.value_and_grad(
+                gp_finetune_loss, has_aux=True)(
+                    gp_group, params, stats, x, model, cfg, axis_name)
+            stats = aux3["stats"]
+            metrics.update(aux3["metrics"])
+            gp_new, opt_states["gp_group"] = _apply_group(
+                opts, "gp_group", g_gp, opt_states["gp_group"], gp_group,
+                state.step)
+            params = dict(params, gp=gp_new["gp"],
+                          likelihood=gp_new["likelihood"])
+
+        new_state = TrainState(params, stats, opt_states, state.step + 1)
+        return new_state, metrics
+
+    return step_fn
+
+
+def make_train_step(model: DVGModel, cfg: DVGConfig, opts: Optimizers,
+                    mesh=None, batch_axis: str = "data"):
+    """Jit the train step. With a `mesh`, the step runs as an explicit
+    shard_map over the mesh's batch axis: each device computes on its batch
+    shard, losses pmean (→ gradient psum through the backward), BN batch
+    statistics pmean to global-batch — exact single-chip numerics at any
+    device count, with the collective schedule fully explicit (the SPMD
+    partitioner is NOT trusted with the 3-pass conv backward; left alone it
+    replicates it)."""
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        step_fn = make_train_step_fn(model, cfg, opts, axis_name=batch_axis)
+        rep_spec, x_spec = P(), P(None, batch_axis)
+        sharded = shard_map(step_fn, mesh=mesh,
+                            in_specs=(rep_spec, x_spec),
+                            out_specs=(rep_spec, rep_spec),
+                            check_rep=False)
+        return jax.jit(sharded, donate_argnums=(0,))
+    return jax.jit(make_train_step_fn(model, cfg, opts), donate_argnums=(0,))

@@ -1,0 +1,48 @@
+"""Structured metric logging: JSONL + console.
+
+The reference logs with bare prints (train.py:368, 391) and throws away the
+SSIM/PSNR arrays it computes (generate_frames.py:329). Here every metric is
+persisted: one JSON object per line in <log_dir>/metrics.jsonl, and eval
+arrays are saved as .npz (SURVEY.md §5.5)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+
+class MetricLogger:
+    def __init__(self, log_dir: str, filename: str = "metrics.jsonl",
+                 echo: bool = True):
+        self.log_dir = log_dir
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, filename)
+        self.echo = echo
+        self._t0 = time.time()
+
+    def log(self, step: int, metrics: Dict, kind: str = "train") -> None:
+        rec = {"kind": kind, "step": int(step),
+               "wall_s": round(time.time() - self._t0, 3)}
+        for k, v in metrics.items():
+            try:
+                rec[k] = float(v)
+            except (TypeError, ValueError):
+                rec[k] = v
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        if self.echo:
+            body = " ".join(f"{k}={rec[k]:.5g}" if isinstance(rec[k], float)
+                            else f"{k}={rec[k]}" for k in metrics)
+            print(f"[{kind} {step}] {body}", flush=True)
+
+    def save_arrays(self, name: str, **arrays) -> str:
+        """Persist eval arrays (e.g. the (B, S, T) SSIM/PSNR grids the
+        reference discards)."""
+        path = os.path.join(self.log_dir, f"{name}.npz")
+        np.savez_compressed(path, **{k: np.asarray(v)
+                                     for k, v in arrays.items()})
+        return path

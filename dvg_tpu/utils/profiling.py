@@ -1,0 +1,59 @@
+"""Profiling hooks: per-step timing + jax.profiler traces.
+
+The reference has no profiling at all (SURVEY.md §5.1 — a progressbar is
+the only instrumentation). Here:
+  * `StepTimer` measures wall time per step with device-sync-correct
+    boundaries (block_until_ready on a representative output);
+  * `trace_context` wraps a region in a `jax.profiler.trace` dump that can
+    be opened in TensorBoard/XProf (set trace_dir to enable, no-op
+    otherwise).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Optional
+
+import jax
+
+
+class StepTimer:
+    """Rolling step timer. Call `stop(out)` with a device array to include
+    device completion in the measurement."""
+
+    def __init__(self, warmup: int = 1):
+        self.warmup = warmup
+        self.times = []
+        self._t0: Optional[float] = None
+        self._n = 0
+
+    def start(self):
+        self._t0 = time.perf_counter()
+
+    def stop(self, out=None) -> float:
+        if out is not None:
+            jax.block_until_ready(out)
+        dt = time.perf_counter() - self._t0
+        self._n += 1
+        if self._n > self.warmup:
+            self.times.append(dt)
+        return dt
+
+    @property
+    def mean(self) -> float:
+        return sum(self.times) / max(len(self.times), 1)
+
+    @property
+    def best(self) -> float:
+        return min(self.times) if self.times else float("nan")
+
+
+@contextlib.contextmanager
+def trace_context(trace_dir: Optional[str] = None):
+    """jax.profiler trace if trace_dir is set; no-op otherwise."""
+    if not trace_dir:
+        yield
+        return
+    with jax.profiler.trace(trace_dir):
+        yield

@@ -1,0 +1,124 @@
+"""Visualization: tensor-grid compositing, PNG/GIF writers, annotations.
+
+Host-side numpy + PIL/imageio equivalents of /root/reference/utils.py:
+  * `image_grid`       — `image_tensor` (utils.py:104-154): nested lists of
+    (H, W, C) images → one tiled image with `padding` black gutters.
+  * `save_image`       — `save_tensors_image`/`make_image` (utils.py:186-199).
+  * `save_gif`         — utils.py:156-165 (imageio mimsave, duration arg).
+  * `save_gif_with_text` — utils.py:167-184: per-frame grid with a text
+    caption strip rendered above every tile.
+  * `add_border`       — generate_frames.py:306-319: pad a frame inside a
+    red ('red') or green ('green') 0.7-intensity border, with a 30-px tail
+    strip for the caption area.
+
+All functions take float arrays in [0, 1], channel-last (H, W, C) or
+(H, W) — the framework's native layout (the reference is CHW torch)."""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+
+def _to_hwc(img: np.ndarray) -> np.ndarray:
+    img = np.asarray(img, dtype=np.float32)
+    if img.ndim == 2:
+        img = img[..., None]
+    if img.shape[-1] == 1:
+        img = np.repeat(img, 3, axis=-1)
+    return img
+
+
+def image_grid(inputs, padding: int = 2) -> np.ndarray:
+    """Nested lists of images → tiled (H, W, 3) image.
+
+    Lists nest row-major: a list of lists of images is a grid of rows; a
+    flat list stacks vertically — mirroring the recursive contract of the
+    reference's `image_tensor` (utils.py:104-154) with black gutters."""
+    if isinstance(inputs, (list, tuple)):
+        tiles = [image_grid(e, padding) for e in inputs]
+        h = max(t.shape[0] for t in tiles)
+        w = max(t.shape[1] for t in tiles)
+        tiles = [_pad_to(t, h, w) for t in tiles]
+        # list-of-lists → this level concatenates horizontally, else rows
+        horiz = isinstance(inputs[0], (list, tuple))
+        axis = 1 if horiz else 0
+        gut_shape = ((h, padding, 3) if horiz else (padding, w, 3))
+        gutter = np.zeros(gut_shape, np.float32)
+        out: List[np.ndarray] = []
+        for i, t in enumerate(tiles):
+            if i:
+                out.append(gutter)
+            out.append(t)
+        return np.concatenate(out, axis=axis)
+    return _to_hwc(inputs)
+
+
+def _pad_to(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    ph, pw = h - img.shape[0], w - img.shape[1]
+    return np.pad(img, ((0, ph), (0, pw), (0, 0)))
+
+
+def _to_uint8(img: np.ndarray) -> np.ndarray:
+    return (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+
+
+def save_image(path: str, grid) -> None:
+    import imageio.v2 as imageio
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    imageio.imwrite(path, _to_uint8(image_grid(grid)))
+
+
+def save_gif(path: str, frames: Sequence, duration: float = 0.25) -> None:
+    """frames: sequence over time; each entry is an image or a nested grid
+    (reference save_gif, utils.py:156-165)."""
+    import imageio.v2 as imageio
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    imgs = [_to_uint8(image_grid(f)) for f in frames]
+    imageio.mimsave(path, imgs, duration=duration, loop=0)
+
+
+def draw_text_image(text: str, width: int, height: int = 30) -> np.ndarray:
+    """Render caption text into a (height, width, 3) float image
+    (reference draw_text_tensor, utils.py:176-184, via PIL)."""
+    from PIL import Image, ImageDraw
+    img = Image.new("RGB", (width, height), (0, 0, 0))
+    d = ImageDraw.Draw(img)
+    d.text((2, 2), text, fill=(255, 255, 255))
+    return np.asarray(img, np.float32) / 255.0
+
+
+def save_gif_with_text(path: str, gifs: Sequence[Sequence],
+                       texts: Sequence[Sequence[str]],
+                       duration: float = 0.25) -> None:
+    """gifs[t][k] = image, texts[t][k] = caption. Per frame, each tile gets
+    its caption strip above it; tiles concatenate horizontally
+    (reference save_gif_with_text, utils.py:167-174)."""
+    frames = []
+    for row_imgs, row_txts in zip(gifs, texts):
+        tiles = []
+        for img, txt in zip(row_imgs, row_txts):
+            img = _to_hwc(np.asarray(img))
+            cap = draw_text_image(txt, img.shape[1])
+            tiles.append(np.concatenate([cap, img], axis=0))
+        frames.append(np.concatenate(tiles, axis=1))
+    import imageio.v2 as imageio
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    imageio.mimsave(path, [_to_uint8(f) for f in frames], duration=duration,
+                    loop=0)
+
+
+def add_border(img: np.ndarray, color: str, pad: int = 1) -> np.ndarray:
+    """Pad an (H, W, C) frame inside a colored border + 30-px bottom strip
+    (reference add_border, generate_frames.py:306-319: red/green at 0.7)."""
+    img = _to_hwc(np.asarray(img))
+    h, w = img.shape[:2]
+    out = np.zeros((h + 2 * pad + 30, w + 2 * pad, 3), np.float32)
+    if color == "red":
+        out[..., 0] = 0.7
+    elif color == "green":
+        out[..., 1] = 0.7
+    out[pad:h + pad, pad:w + pad, :] = img
+    return out

@@ -1,0 +1,131 @@
+"""Dataset layer tests: Moving-MNIST determinism/shapes, loader batching,
+metadata-driven frame datasets, conversion tools (SURVEY.md §4 plan)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from dvg_tpu.config import DVGConfig
+from dvg_tpu.data import Loader, MovingMNIST, load_dataset, normalize_batch
+from dvg_tpu.data.convert import build_metadata, iter_tfrecords, parse_example
+from dvg_tpu.data.frames import KTH
+
+
+def test_moving_mnist_shapes_and_range():
+    ds = MovingMNIST(train=True, seq_len=7, num_digits=2, image_size=64)
+    x, y = ds[0]
+    assert x.shape == (7, 64, 64, 1)
+    assert x.dtype == np.float32
+    assert x.min() >= 0.0 and x.max() <= 1.0
+    assert y == 0
+
+
+def test_moving_mnist_deterministic_per_index():
+    """Unlike the reference (worker-seed-dependent, moving_mnist.py:30-33),
+    samples are a pure function of (seed, index)."""
+    a = MovingMNIST(train=True, seq_len=5, seed=3)
+    b = MovingMNIST(train=True, seq_len=5, seed=3)
+    np.testing.assert_array_equal(a[11][0], b[11][0])
+    assert not np.array_equal(a[11][0], a[12][0])
+    c = MovingMNIST(train=True, seq_len=5, seed=4)
+    assert not np.array_equal(a[11][0], c[11][0])
+
+
+def test_moving_mnist_digits_move():
+    x, _ = MovingMNIST(train=True, seq_len=10, seed=1)[0]
+    diffs = [np.abs(x[t + 1] - x[t]).sum() for t in range(9)]
+    assert all(d > 0 for d in diffs), "digits must move every frame"
+
+
+def test_loader_time_major():
+    ds = MovingMNIST(train=True, seq_len=6, image_size=64)
+    loader = Loader(ds, batch_size=3, seed=0)
+    b0 = loader.next_batch(0)
+    assert b0.shape == (6, 3, 64, 64, 1)
+    np.testing.assert_array_equal(b0, loader.next_batch(0))
+    assert not np.array_equal(b0, loader.next_batch(1))
+
+
+def test_normalize_batch():
+    items = [np.zeros((4, 8, 8, 1), np.float32) for _ in range(3)]
+    out = normalize_batch(items)
+    assert out.shape == (4, 3, 8, 8, 1)
+
+
+def test_load_dataset_registry():
+    cfg = DVGConfig(dataset="smmnist", n_past=2, n_future=3, n_eval=5)
+    tr, te = load_dataset(cfg)
+    assert tr.seq_len == 5 and te.seq_len == 5
+    with pytest.raises(ValueError):
+        load_dataset(cfg.replace(dataset="nope"))
+
+
+def _make_png_tree(root, classes, vids=2, frames=12, size=16):
+    from PIL import Image
+    for cls in classes:
+        for v in range(vids):
+            d = os.path.join(root, "processed", cls, f"vid{v}")
+            os.makedirs(d, exist_ok=True)
+            for t in range(frames):
+                arr = np.full((size, size), (t * 17) % 255, np.uint8)
+                Image.fromarray(arr).save(
+                    os.path.join(d, f"image-{t}_16x16.png"))
+
+
+def test_metadata_and_kth_loader(tmp_path):
+    root = str(tmp_path)
+    classes = ("boxing", "walking")
+    _make_png_tree(root, classes)
+    path = build_metadata(root, classes, image_size=64, split="train")
+    meta = json.load(open(path))
+    assert set(meta) == set(classes)
+    rec = meta["boxing"][0]
+    assert rec["n"] == 12 and len(rec["files"]) == 4
+
+    # KTH only knows its 6 canonical classes; monkeypatch for the fixture
+    tiny_classes = classes
+
+    class TinyKTH(KTH):
+        classes = tiny_classes
+    ds = TinyKTH(train=True, data_root=root, seq_len=3, image_size=64)
+    seq, cls_id = ds[0]
+    assert seq.shape == (3, 64, 64, 1)
+    assert 0 <= cls_id < len(classes)
+    # deterministic per index
+    np.testing.assert_array_equal(ds[5][0], ds[5][0])
+
+
+def test_tfrecord_example_roundtrip(tmp_path):
+    """Hand-encode a TFRecord of tf.train.Examples; the pure-python reader
+    must recover the raw image bytes (convert_bair.py parity without TF)."""
+    def varint(n):
+        out = b""
+        while True:
+            b7 = n & 0x7F
+            n >>= 7
+            out += bytes([b7 | (0x80 if n else 0)])
+            if not n:
+                return out
+
+    def ld(field, payload):       # length-delimited field
+        return varint((field << 3) | 2) + varint(len(payload)) + payload
+
+    img = bytes(range(48))  # fake 4x4x3 image
+    bytes_list = ld(1, img)
+    feature = ld(1, bytes_list)
+    entry = ld(1, b"0/image_aux1/encoded") + ld(2, feature)
+    features = ld(1, entry)
+    example = ld(1, features)
+
+    import struct
+    path = tmp_path / "a.tfrecords"
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(example)) + b"\0" * 4
+                + example + b"\0" * 4)
+
+    recs = list(iter_tfrecords(str(path)))
+    assert len(recs) == 1
+    feats = parse_example(recs[0])
+    assert feats["0/image_aux1/encoded"][0] == img
