@@ -40,10 +40,11 @@ def main() -> int:
     n_eval = int(os.environ.get("BENCH_NEVAL", 105))
     n_past = 5
 
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     cfg = DVGConfig(dataset="bair", channels=3, image_width=64,
                     batch_size=batch, n_past=n_past,
                     n_future=n_eval - n_past, n_eval=n_eval,
-                    model="dcgan", nsample=nsample)
+                    model="dcgan", nsample=nsample, dtype=dtype)
     model = DVGModel(cfg)
     key = jax.random.PRNGKey(0)
     params, stats = model.init(key)
@@ -93,6 +94,7 @@ def main() -> int:
             "batched_s_per_rollout": round(dt, 4),
             "serial_emulation_fps": round(serial_total_fps, 1),
             "device": str(jax.devices()[0]),
+            "dtype": dtype,
         },
     }
     print(json.dumps(rec))

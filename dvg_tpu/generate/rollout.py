@@ -87,7 +87,7 @@ def _context_phase(model: DVGModel, params, stats, x, n_past: int):
         return h, skips
 
     h_ctx, skips_ctx = jax.vmap(enc)(ctx)           # (n_past, B, G), stages
-    hidden = model.lstm_hidden_init(b)
+    hidden = model.lstm_hidden_init(b, dtype=h_ctx.dtype)
 
     def warm(hidden, h_t):
         _, hidden = model.predict_latent(params, hidden, h_t)
@@ -122,6 +122,9 @@ def _free_run(model: DVGModel, params, stats, cache: gp_mod.GPCache,
         return y
 
     def metrics_of(x_out, x_true):
+        x_out = x_out.astype(jnp.float32)            # metrics always f32
+        x_true = x_true.astype(jnp.float32)
+
         def one(g, p):   # (H, W, C)
             s = jax.vmap(ssim_ops.ssim, in_axes=(2, 2))(g, p)
             q = jax.vmap(ssim_ops.psnr, in_axes=(2, 2))(g, p)
@@ -161,9 +164,20 @@ def _free_run(model: DVGModel, params, stats, cache: gp_mod.GPCache,
 
 def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
                      nsample: int = None) -> RolloutFns:
+    """cfg.dtype='bfloat16' runs the conv/LSTM/GP compute in bf16 (2x MXU
+    throughput, the production inference dtype); in-scan SSIM/PSNR and the
+    returned frames stay float32."""
     n_past, n_eval = cfg.n_past, cfg.n_eval
     n_free = n_eval - n_past
     nsample = nsample if nsample is not None else cfg.nsample
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+    def cast_tree(tree):
+        if dtype == jnp.float32:
+            return tree
+        return jax.tree.map(
+            lambda a: a.astype(dtype)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, tree)
 
     # fork schedules over free-run steps i = n_past..n_eval-1
     steps = np.arange(n_past, n_eval)
@@ -172,13 +186,20 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
     no_fork = jnp.zeros((n_free,), bool)
 
     def posterior(params, stats, cache, x):
+        params, stats, cache = (cast_tree(params), cast_tree(stats),
+                                cast_tree(cache))
+        x = x.astype(dtype)
         hidden, skip, x_in = _context_phase(model, params, stats, x, n_past)
         keys = jax.random.split(jax.random.PRNGKey(0), n_free)  # unused
         frames = _free_run(model, params, stats, cache, hidden, skip, x_in,
                            n_free, no_fork, keys, gp_mean_mode=True)
-        return jnp.concatenate([x[:n_past], frames], axis=0)
+        return jnp.concatenate([x[:n_past], frames],
+                               axis=0).astype(jnp.float32)
 
     def _sampled(params, stats, cache, x, key, fork_mask, s, row_ids=None):
+        params, stats, cache = (cast_tree(params), cast_tree(stats),
+                                cast_tree(cache))
+        x = x.astype(dtype)
         hidden, skip, x_in = _context_phase(model, params, stats, x, n_past)
         rows = (jnp.arange(x.shape[1]) if row_ids is None
                 else jnp.asarray(row_ids))
@@ -191,7 +212,8 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
 
         frames = jax.vmap(one)(jax.random.split(key, s))  # (S, n_free, B,...)
         ctx = jnp.broadcast_to(x[None, :n_past], (s,) + x[:n_past].shape)
-        return jnp.concatenate([ctx, frames], axis=1)     # (S, n_eval, B,...)
+        return jnp.concatenate([ctx, frames],
+                               axis=1).astype(jnp.float32)
 
     def diverse(params, stats, cache, x, key):
         return _sampled(params, stats, cache, x, key, fork_15, nsample)
@@ -199,8 +221,11 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
     def diverse_metrics(params, stats, cache, x, key):
         """All-sample eval with in-scan metrics, no frame materialization.
         Returns {"ssim","psnr","mse"}: (S, n_free, B)."""
+        gt = x[n_past:n_eval].astype(jnp.float32)   # metrics vs f32 truth
+        params, stats, cache = (cast_tree(params), cast_tree(stats),
+                                cast_tree(cache))
+        x = x.astype(dtype)
         hidden, skip, x_in = _context_phase(model, params, stats, x, n_past)
-        gt = x[n_past:n_eval]
         rows = jnp.arange(x.shape[1])
 
         def one(k):
@@ -225,6 +250,9 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
 
     def _sampled_with_keys(params, stats, cache, x, sample_keys, fork_mask,
                            row_ids):
+        params, stats, cache = (cast_tree(params), cast_tree(stats),
+                                cast_tree(cache))
+        x = x.astype(dtype)
         hidden, skip, x_in = _context_phase(model, params, stats, x, n_past)
         rows = jnp.asarray(row_ids)
 
@@ -237,7 +265,7 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
         frames = jax.vmap(one)(sample_keys)
         k = sample_keys.shape[0]
         ctx = jnp.broadcast_to(x[None, :n_past], (k,) + x[:n_past].shape)
-        return jnp.concatenate([ctx, frames], axis=1)
+        return jnp.concatenate([ctx, frames], axis=1).astype(jnp.float32)
 
     def plot_samples(params, stats, cache, x, key):
         return _sampled(params, stats, cache, x, key, fork_10, 5)
@@ -247,6 +275,9 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
     total = n_eval                                      # 105 by default
 
     def gp_trigger(params, stats, cache, x, key):
+        params, stats, cache = (cast_tree(params), cast_tree(stats),
+                                cast_tree(cache))
+        x = x.astype(dtype)
         b = x.shape[1]
 
         def enc(xt):
@@ -255,15 +286,15 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
 
         def var_norm(h):
             v = gp_mod.cached_variance(cache, model.to_gp_layout(h))  # (G,B)
-            return jnp.linalg.norm(v, axis=0)                          # (B,)
+            return jnp.linalg.norm(v.astype(jnp.float32), axis=0)     # (B,)
 
-        hidden = model.lstm_hidden_init(b)
+        hidden = model.lstm_hidden_init(b, dtype=x.dtype)
         x_in = x[0]
         keys = jax.random.split(key, total)
 
         # warmup: free-run 12 frames, skip frozen from the first 5 encodes
         # (generate_frames.py:266-271); collect variance norms
-        window = jnp.zeros((warmup, b))
+        window = jnp.zeros((warmup, b), jnp.float32)
         skip = None
         frames_w = []
         for i in range(warmup):
@@ -294,7 +325,8 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
         (_, _, _), (frames_t, trig, values) = jax.lax.scan(
             step, (hidden, x_in, window), keys[warmup:total])
         frames = jnp.concatenate([jnp.stack(frames_w), frames_t], axis=0)
-        return frames, {"triggers": trig, "values": values}
+        return frames.astype(jnp.float32), {"triggers": trig,
+                                            "values": values}
 
     return RolloutFns(posterior=posterior, diverse=diverse,
                       diverse_metrics=diverse_metrics,

@@ -67,9 +67,9 @@ class DVGModel:
                                            h, skips, train,
                                            axis_name=axis_name)
 
-    def lstm_hidden_init(self, batch_size: int):
+    def lstm_hidden_init(self, batch_size: int, dtype=jnp.float32):
         return rnn_mod.lstm_hidden_init(batch_size, self.cfg.rnn_size,
-                                        self.cfg.predictor_rnn_layers)
+                                        self.cfg.predictor_rnn_layers, dtype)
 
     def predict_latent(self, params, hidden, h):
         """One LSTM step: latent h_t → h_{t+1} prediction."""

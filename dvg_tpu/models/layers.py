@@ -57,7 +57,9 @@ def linear_init(key, in_dim: int, out_dim: int) -> Params:
 
 
 def linear_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.dot(x, p["w"], preferred_element_type=jnp.float32) + p["b"]
+    # accumulate in f32 on the MXU, keep the compute dtype downstream
+    y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32) + p["b"]
+    return y.astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -166,16 +168,20 @@ def batchnorm_apply(p: Params, stats: Params, x: jnp.ndarray, train: bool,
     semantics at any device count."""
     if train:
         axes = tuple(range(x.ndim - 1))
-        mean = jnp.mean(x, axis=axes)
-        sq = jnp.mean(x * x, axis=axes)
         n = x.size // x.shape[-1]
         if axis_name is not None:
-            mean = lax.pmean(mean, axis_name)
-            sq = lax.pmean(sq, axis_name)
+            # two-pass (global mean, then global E[(x-μ)²]) — numerically
+            # identical algorithm to the single-device jnp.var path; the
+            # one-pass E[x²]-μ² form loses ~3 digits to cancellation and
+            # visibly shifts downstream training numerics
+            mean = lax.pmean(jnp.mean(x, axis=axes), axis_name)
+            var = lax.pmean(jnp.mean((x - mean) ** 2, axis=axes), axis_name)
             n = n * lax.psum(1, axis_name)
-        var = sq - mean * mean
-        unbiased = var * (n / max(n - 1, 1)) if isinstance(n, int) \
-            else var * (n / jnp.maximum(n - 1, 1))
+            unbiased = var * (n / jnp.maximum(n - 1, 1))
+        else:
+            mean = jnp.mean(x, axis=axes)
+            var = jnp.var(x, axis=axes)
+            unbiased = var * (n / max(n - 1, 1))
         new_stats = {
             "mean": (1 - momentum) * stats["mean"] + momentum * mean,
             "var": (1 - momentum) * stats["var"] + momentum * unbiased,

@@ -56,7 +56,7 @@ def lstm_cell_apply(p, x, state):
     h, c = state
     gates = (jnp.dot(x, p["w_ih"], preferred_element_type=jnp.float32)
              + jnp.dot(h, p["w_hh"], preferred_element_type=jnp.float32)
-             + p["b_ih"] + p["b_hh"])
+             + p["b_ih"] + p["b_hh"]).astype(x.dtype)
     i, f, g, o = jnp.split(gates, 4, axis=-1)
     i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
     g = jnp.tanh(g)
@@ -76,8 +76,10 @@ def gru_cell_init(key, in_dim: int, hidden: int) -> Dict:
 
 
 def gru_cell_apply(p, x, h):
-    gi = jnp.dot(x, p["w_ih"], preferred_element_type=jnp.float32) + p["b_ih"]
-    gh = jnp.dot(h, p["w_hh"], preferred_element_type=jnp.float32) + p["b_hh"]
+    gi = (jnp.dot(x, p["w_ih"], preferred_element_type=jnp.float32)
+          + p["b_ih"]).astype(x.dtype)
+    gh = (jnp.dot(h, p["w_hh"], preferred_element_type=jnp.float32)
+          + p["b_hh"]).astype(x.dtype)
     i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
     h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
     r = jax.nn.sigmoid(i_r + h_r)
@@ -101,7 +103,7 @@ def rnn_cell_apply(p, x, h):
     h_new = jnp.tanh(jnp.dot(x, p["w_ih"], preferred_element_type=jnp.float32)
                      + p["b_ih"]
                      + jnp.dot(h, p["w_hh"], preferred_element_type=jnp.float32)
-                     + p["b_hh"])
+                     + p["b_hh"]).astype(x.dtype)
     return h_new, h_new
 
 
@@ -120,11 +122,11 @@ def lstm_init(key, input_size: int, output_size: int, hidden_size: int,
     }
 
 
-def lstm_hidden_init(batch_size: int, hidden_size: int,
-                     n_layers: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def lstm_hidden_init(batch_size: int, hidden_size: int, n_layers: int,
+                     dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-sequence zero state (reference lstm.py:21-27): (h, c) stacked
     over layers as (n_layers, B, H) arrays — a clean scan carry."""
-    z = jnp.zeros((n_layers, batch_size, hidden_size), jnp.float32)
+    z = jnp.zeros((n_layers, batch_size, hidden_size), dtype)
     return (z, z)
 
 

@@ -346,10 +346,20 @@ def make_train_step_fn(model: DVGModel, cfg: DVGConfig, opts: Optimizers,
         opt_states = dict(state.opt_states)
         metrics = {}
 
+        def global_grads(g):
+            # AD of the pmean'd loss leaves each device with the global
+            # gradient plus a device-local deviation that cancels across the
+            # axis; pmean recovers the exact global-batch gradient (verified
+            # against the single-device path in test_train.py)
+            if axis_name is None:
+                return g
+            return jax.lax.pmean(g, axis_name)
+
         # ---- pass 1: joint ------------------------------------------------
         (loss, aux), grads = jax.value_and_grad(
             joint_loss, has_aux=True)(params, stats, x, model, cfg,
                                       axis_name)
+        grads = global_grads(grads)
         stats = aux["stats"]
         metrics.update(aux["metrics"])
         g_groups = split_params(grads)
@@ -366,6 +376,7 @@ def make_train_step_fn(model: DVGModel, cfg: DVGConfig, opts: Optimizers,
                 lstm_finetune_loss, has_aux=True)(
                     params["frame_predictor"], params, stats, x, model, cfg,
                     axis_name)
+            g_fp = global_grads(g_fp)
             stats = aux2["stats"]
             metrics.update(aux2["metrics"])
             fp_new, opt_states["frame_predictor"] = _apply_group(
@@ -379,6 +390,7 @@ def make_train_step_fn(model: DVGModel, cfg: DVGConfig, opts: Optimizers,
             (gp_l, aux3), g_gp = jax.value_and_grad(
                 gp_finetune_loss, has_aux=True)(
                     gp_group, params, stats, x, model, cfg, axis_name)
+            g_gp = global_grads(g_gp)
             stats = aux3["stats"]
             metrics.update(aux3["metrics"])
             gp_new, opt_states["gp_group"] = _apply_group(

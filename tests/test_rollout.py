@@ -1,0 +1,128 @@
+"""Generation-engine tests: shapes, fork schedules, the metrics/select
+consistency invariants, and the GP-trigger path (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dvg_tpu.config import DVGConfig
+from dvg_tpu.generate.rollout import best_of_n, make_rollout_fns
+from dvg_tpu.models.dvg import DVGModel
+from dvg_tpu.ops import ssim as ssim_ops
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = DVGConfig(dataset="smmnist", channels=1, image_width=64,
+                    batch_size=3, n_past=2, n_future=3, n_eval=5,
+                    g_dim=8, rnn_size=16, num_inducing_points=4, nsample=4)
+    model = DVGModel(cfg)
+    params, stats = model.init(jax.random.PRNGKey(0))
+    cache = model.gp_cache(params)
+    fns = make_rollout_fns(model, cfg, nsample=4)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (5, 3, 64, 64, 1))
+    return cfg, model, params, stats, cache, fns, x
+
+
+def test_posterior_shape_and_context(setup):
+    cfg, model, params, stats, cache, fns, x = setup
+    out = fns.posterior(params, stats, cache, x)
+    assert out.shape == x.shape
+    np.testing.assert_array_equal(np.asarray(out[:cfg.n_past]),
+                                  np.asarray(x[:cfg.n_past]))
+
+
+def test_diverse_shapes_and_determinism(setup):
+    cfg, model, params, stats, cache, fns, x = setup
+    key = jax.random.PRNGKey(7)
+    gen1 = fns.diverse(params, stats, cache, x, key)
+    gen2 = fns.diverse(params, stats, cache, x, key)
+    assert gen1.shape == (4, 5, 3, 64, 64, 1)
+    np.testing.assert_array_equal(np.asarray(gen1), np.asarray(gen2))
+    # n_eval=5 → free steps 2..4 contain NO i%15==0 fork → the rollout is
+    # key-independent, matching the reference's deterministic non-fork path
+    gen3 = fns.diverse(params, stats, cache, x, jax.random.PRNGKey(8))
+    np.testing.assert_array_equal(np.asarray(gen1), np.asarray(gen3))
+
+
+def test_metrics_match_frames(setup):
+    """diverse_metrics (in-scan SSIM) must equal metrics computed from the
+    materialized diverse frames — same keys, same math."""
+    cfg, model, params, stats, cache, fns, x = setup
+    key = jax.random.PRNGKey(9)
+    gen = fns.diverse(params, stats, cache, x, key)       # (S, T, B, ...)
+    met = fns.diverse_metrics(params, stats, cache, x, key)
+    gt = x[cfg.n_past:]
+
+    def frame_ssim(g, p):                                  # (H, W, C) pair
+        return jnp.mean(jax.vmap(ssim_ops.ssim, in_axes=(2, 2))(g, p))
+
+    for s in range(2):
+        for t in range(3):
+            for b in range(3):
+                ref = float(frame_ssim(gt[t, b], gen[s, cfg.n_past + t, b]))
+                np.testing.assert_allclose(
+                    float(met["ssim"][s, t, b]), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_select_reproduces_scored_futures(setup):
+    """diverse_select on a batch-row slice must reproduce EXACTLY the frames
+    of the full-batch diverse rollout for the chosen sample/row."""
+    cfg, model, params, stats, cache, fns, x = setup
+    key = jax.random.PRNGKey(11)
+    gen = fns.diverse(params, stats, cache, x, key)       # (S, T, B, ...)
+    row = 1
+    ids = jnp.asarray([2, 0])
+    sel = fns.diverse_select(params, stats, cache, x[:, row:row + 1], key,
+                             ids, jnp.asarray([row]))
+    np.testing.assert_allclose(np.asarray(sel[0, :, 0]),
+                               np.asarray(gen[2, :, row]), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sel[1, :, 0]),
+                               np.asarray(gen[0, :, row]), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_fork_schedule_creates_diversity(setup):
+    """Samples agree before the first fork step and diverge after it."""
+    cfg, model, params, stats, cache, fns, x = setup
+    # n_past=2, n_eval=5 → free steps i=2,3,4; no i%15==0 → no divergence.
+    gen = fns.diverse(params, stats, cache, x, jax.random.PRNGKey(3))
+    np.testing.assert_allclose(np.asarray(gen[0]), np.asarray(gen[1]),
+                               rtol=1e-5, atol=1e-6)
+    # with fork at i==2 (plot_samples forks at i==10; emulate via n_eval>10)
+    cfg2 = DVGConfig(dataset="smmnist", channels=1, image_width=64,
+                     batch_size=2, n_past=2, n_future=13, n_eval=15,
+                     g_dim=8, rnn_size=16, num_inducing_points=4)
+    fns2 = make_rollout_fns(model, cfg2, nsample=2)
+    x2 = jax.random.uniform(jax.random.PRNGKey(4), (15, 2, 64, 64, 1))
+    gen2 = fns2.plot_samples(params, stats, cache, x2, jax.random.PRNGKey(5))
+    pre = np.asarray(gen2[:, :10])       # frames before fork step 10
+    np.testing.assert_allclose(pre[0], pre[1], rtol=1e-5, atol=1e-6)
+    # the GP-sampled fork frame itself must differ across samples (with
+    # untrained contracting weights later frames may re-converge)
+    fork_frame = np.asarray(gen2[:, 10])
+    assert np.abs(fork_frame[0] - fork_frame[1]).max() > 1e-4
+
+
+def test_gp_trigger_path(setup):
+    cfg, model, params, stats, cache, fns, x = setup
+    cfg3 = DVGConfig(dataset="smmnist", channels=1, image_width=64,
+                     batch_size=3, n_past=2, n_future=13, n_eval=15,
+                     g_dim=8, rnn_size=16, num_inducing_points=4)
+    fns3 = make_rollout_fns(model, cfg3, nsample=2)
+    x3 = jax.random.uniform(jax.random.PRNGKey(6), (15, 3, 64, 64, 1))
+    frames, diag = fns3.gp_trigger(params, stats, cache, x3,
+                                   jax.random.PRNGKey(7))
+    assert frames.shape == (15, 3, 64, 64, 1)
+    assert diag["triggers"].shape == (3, 3)   # (steps after warmup, B)
+    assert diag["values"].shape == (3, 3)
+    assert np.all(np.isfinite(np.asarray(frames)))
+
+
+def test_best_of_n():
+    m = jnp.asarray(np.random.RandomState(0).rand(4, 6, 5))   # (B, S, T)
+    idx, best = best_of_n(m)
+    ref = np.argmax(np.asarray(m).mean(-1), axis=-1)
+    np.testing.assert_array_equal(np.asarray(idx), ref)
