@@ -121,16 +121,10 @@ def _free_run(model: DVGModel, params, stats, cache: gp_mod.GPCache,
         y, _ = model.decode(params, stats, h, skip, train=False)
         return y
 
-    def metrics_of(x_out, x_true):
+    def metrics_of(x_out, gt_pre_t):
         x_out = x_out.astype(jnp.float32)            # metrics always f32
-        x_true = x_true.astype(jnp.float32)
-
-        def one(g, p):   # (H, W, C)
-            s = jax.vmap(ssim_ops.ssim, in_axes=(2, 2))(g, p)
-            q = jax.vmap(ssim_ops.psnr, in_axes=(2, 2))(g, p)
-            return jnp.mean(s), jnp.mean(q)
-        s, q = jax.vmap(one)(x_true, x_out)          # (B,)
-        m = jnp.mean((x_out - x_true) ** 2, axis=(1, 2, 3))
+        s, q = ssim_ops.ssim_psnr_batch_pre(gt_pre_t, x_out)
+        m = jnp.mean((x_out - gt_pre_t["gt"]) ** 2, axis=(1, 2, 3))
         return s, q, m
 
     def step(carry, scan_in):
@@ -153,7 +147,18 @@ def _free_run(model: DVGModel, params, stats, cache: gp_mod.GPCache,
             out = x_out
         return (hidden, x_out), out
 
-    xs = (fork_mask, keys) if gt is None else (fork_mask, keys, gt)
+    if gt is None:
+        xs = (fork_mask, keys)
+    else:
+        # gt-side SSIM quantities for all steps in ONE batched pass —
+        # shared across every sample of the diversity sweep (the caller's
+        # vmap closes over them, so they are computed once, not S times)
+        t, b = gt.shape[0], gt.shape[1]
+        flat = gt.reshape((t * b,) + gt.shape[2:])
+        pre = ssim_ops.ssim_gt_precompute(flat)
+        pre = jax.tree.map(
+            lambda a: a.reshape((t, b) + a.shape[1:]), pre)
+        xs = (fork_mask, keys, pre)
     (_, _), out = jax.lax.scan(step, (hidden, x_in), xs)
     return out   # frames (n_steps, B, H, W, C) or ((n_steps,B) ssim/psnr/mse)
 

@@ -199,7 +199,9 @@ def batchnorm_apply(p: Params, stats: Params, x: jnp.ndarray, train: bool,
 # ---------------------------------------------------------------------------
 
 def leaky_relu(x, negative_slope=0.2):
-    return jnp.where(x >= 0, x, negative_slope * x)
+    # max(x, αx) == where(x>=0, x, αx) for 0 <= α <= 1, and compiles to a
+    # single fusible max instead of compare+select
+    return jnp.maximum(x, negative_slope * x)
 
 
 def max_pool2d(x: jnp.ndarray, k: int = 2, stride: int = 2) -> jnp.ndarray:
