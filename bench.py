@@ -41,10 +41,12 @@ def main() -> int:
     n_past = 5
 
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     cfg = DVGConfig(dataset="bair", channels=3, image_width=64,
                     batch_size=batch, n_past=n_past,
                     n_future=n_eval - n_past, n_eval=n_eval,
-                    model="dcgan", nsample=nsample, dtype=dtype)
+                    model="dcgan", nsample=nsample, dtype=dtype,
+                    use_pallas=use_pallas)
     model = DVGModel(cfg)
     key = jax.random.PRNGKey(0)
     params, stats = model.init(key)

@@ -101,7 +101,8 @@ def _context_phase(model: DVGModel, params, stats, x, n_past: int):
 
 def _free_run(model: DVGModel, params, stats, cache: gp_mod.GPCache,
               hidden, skip, x_in, n_steps: int, fork_mask, keys,
-              gp_mean_mode: bool, gt=None, row_ids=None):
+              gp_mean_mode: bool, gt=None, row_ids=None,
+              use_pallas: bool = False):
     """Closed-loop rollout for n_steps frames.
 
     fork_mask: (n_steps,) bool — steps that decode a GP sample of gp(h).
@@ -123,7 +124,11 @@ def _free_run(model: DVGModel, params, stats, cache: gp_mod.GPCache,
 
     def metrics_of(x_out, gt_pre_t):
         x_out = x_out.astype(jnp.float32)            # metrics always f32
-        s, q = ssim_ops.ssim_psnr_batch_pre(gt_pre_t, x_out)
+        if use_pallas:
+            from dvg_tpu.ops.pallas_ssim import ssim_psnr_batch_pallas
+            s, q = ssim_psnr_batch_pallas(gt_pre_t["gt"], x_out)
+        else:
+            s, q = ssim_ops.ssim_psnr_batch_pre(gt_pre_t, x_out)
         m = jnp.mean((x_out - gt_pre_t["gt"]) ** 2, axis=(1, 2, 3))
         return s, q, m
 
@@ -149,6 +154,8 @@ def _free_run(model: DVGModel, params, stats, cache: gp_mod.GPCache,
 
     if gt is None:
         xs = (fork_mask, keys)
+    elif use_pallas:
+        xs = (fork_mask, keys, {"gt": gt.astype(jnp.float32)})
     else:
         # gt-side SSIM quantities for all steps in ONE batched pass —
         # shared across every sample of the diversity sweep (the caller's
@@ -237,7 +244,8 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
             keys = jax.random.split(k, n_free)
             return _free_run(model, params, stats, cache, hidden, skip,
                              x_in, n_free, fork_15, keys,
-                             gp_mean_mode=False, gt=gt, row_ids=rows)
+                             gp_mean_mode=False, gt=gt, row_ids=rows,
+                             use_pallas=cfg.use_pallas)
 
         s, q, m = jax.vmap(one)(jax.random.split(key, nsample))
         return {"ssim": s, "psnr": q, "mse": m}

@@ -1,0 +1,151 @@
+"""Pallas TPU kernel: fused SSIM + PSNR over a batch of images.
+
+The eval hot path of the framework scores every generated frame against
+ground truth (reference utils.py:220-234 did this on host CPU, one skimage
+call per (batch, frame, channel) — SURVEY.md §3's "CPU skimage SSIM over
+100x50x100 frames" bottleneck). The XLA path (ops/ssim.py) already batches
+the windowed moments; this kernel goes one step further and performs the
+WHOLE metric in one pass per image block:
+
+  * one HBM read of (gt, pred) tiles into VMEM;
+  * the 7x7 uniform-window moments as banded-matrix matmuls on the MXU
+    (box filter == W_h @ X @ W_w^T with 0/1-banded weight matrices — two
+    small matmuls per moment instead of a sliding window);
+  * SSIM statistics + map mean + data_range max/min + PSNR on the VPU;
+  * one scalar pair written per image — the (N, h', w') moment maps never
+    touch HBM.
+
+Semantics identical to ops/ssim.py `ssim_psnr_batch` (skimage
+compare_ssim: uniform window, unbiased covariances, data_range from gt).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _PALLAS_OK = True
+except Exception:                                   # pragma: no cover
+    _PALLAS_OK = False
+
+
+def _band(out_size: int, in_size: int, win: int) -> np.ndarray:
+    m = np.zeros((out_size, in_size), np.float32)
+    for i in range(out_size):
+        m[i, i:i + win] = 1.0 / win
+    return m
+
+
+def _kernel(gt_ref, pred_ref, wh_ref, ww_ref, ssim_ref, psnr_ref,
+            *, win: int, hw: int, block: int):
+    wh = wh_ref[...]                                 # (H-win+1, H)
+    ww = ww_ref[...]                                 # (W-win+1, W)
+    n = win * win
+    cov_norm = n / (n - 1.0)
+    i = pl.program_id(0)
+
+    # Mosaic wants plain 2-D matmuls — unroll the image block; each image's
+    # box filter is W_h @ (X @ W_w^T), all (≤64, ≤64)x(64, 58) dots on the MXU
+    ssim_vals, psnr_vals = [], []
+    for k in range(block):
+        gt = gt_ref[k].astype(jnp.float32)           # (H, W)
+        pred = pred_ref[k].astype(jnp.float32)
+
+        def box(x):
+            y = jnp.dot(x, ww.T, preferred_element_type=jnp.float32)
+            return jnp.dot(wh, y, preferred_element_type=jnp.float32)
+
+        # MXU dots run at single-pass bf16; center each image first so the
+        # moments carry no large DC term (the variance cancellations
+        # uxx - ux² would otherwise lose ~3 digits). Box filtering is
+        # linear, so the raw means reconstruct exactly on the VPU.
+        mg, mp = jnp.mean(gt), jnp.mean(pred)
+        gc, pc = gt - mg, pred - mp
+        bux, buy = box(gc), box(pc)
+        ux, uy = bux + mg, buy + mp
+        vx = cov_norm * (box(gc * gc) - bux * bux)
+        vy = cov_norm * (box(pc * pc) - buy * buy)
+        vxy = cov_norm * (box(gc * pc) - bux * buy)
+        dr = jnp.maximum(jnp.max(gt) - jnp.min(gt), 1e-6)
+        c1 = (0.01 * dr) ** 2
+        c2 = (0.03 * dr) ** 2
+        s_map = ((2.0 * ux * uy + c1) * (2.0 * vxy + c2)
+                 / ((ux ** 2 + uy ** 2 + c1) * (vx + vy + c2)))
+        ssim_vals.append(jnp.mean(s_map))
+        mse = jnp.sum((gt - pred) ** 2) / hw
+        psnr_vals.append(10.0 * jnp.log10(1.0 / jnp.maximum(mse, 1e-12)))
+
+    # outputs are tiny (grid, block) arrays held whole in VMEM; each program
+    # writes its row as one vector store (scalar stores to VMEM are illegal)
+    ssim_ref[i, :] = jnp.stack(ssim_vals)
+    psnr_ref[i, :] = jnp.stack(psnr_vals)
+
+
+def ssim_psnr_images(gt: jnp.ndarray, pred: jnp.ndarray, win: int = 7,
+                     block: int = 8, interpret: bool = False
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-image SSIM/PSNR for (N, H, W) single-channel batches → ((N,), (N,)).
+
+    N must be a multiple of `block` (callers pad). Falls back to the XLA
+    path when Pallas is unavailable."""
+    n, h, w = gt.shape
+    if not _PALLAS_OK:                               # pragma: no cover
+        from dvg_tpu.ops.ssim import ssim_psnr_batch
+        return ssim_psnr_batch(gt[..., None], pred[..., None], win)
+    assert n % block == 0, (n, block)
+    wh = jnp.asarray(_band(h - win + 1, h, win))
+    ww = jnp.asarray(_band(w - win + 1, w, win))
+    grid = (n // block,)
+    kern = functools.partial(_kernel, win=win, hw=h * w, block=block)
+    # rank-1 outputs with tiny blocks violate TPU lane tiling; emit
+    # (grid, block) 2-D outputs and flatten after
+    out_shape = (jax.ShapeDtypeStruct((n // block, block), jnp.float32),
+                 jax.ShapeDtypeStruct((n // block, block), jnp.float32))
+    ssim, psnr = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block, h, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, h, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h - win + 1, h), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w - win + 1, w), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((n // block, block), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((n // block, block), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(gt, pred, wh, ww)
+    return ssim.reshape(n), psnr.reshape(n)
+
+
+def ssim_psnr_batch_pallas(gt: jnp.ndarray, pred: jnp.ndarray, win: int = 7,
+                           interpret: bool = False
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Channel-averaged drop-in for ops.ssim.ssim_psnr_batch on NHWC input."""
+    b, h, w, c = gt.shape
+    gt_i = jnp.transpose(gt, (0, 3, 1, 2)).reshape(b * c, h, w)
+    pred_i = jnp.transpose(pred, (0, 3, 1, 2)).reshape(b * c, h, w)
+    n = b * c
+    block = 8
+    pad = (-n) % block
+    if pad:
+        gt_i = jnp.concatenate([gt_i, jnp.ones((pad, h, w), gt_i.dtype)])
+        pred_i = jnp.concatenate([pred_i, jnp.ones((pad, h, w),
+                                                   pred_i.dtype)])
+    s, q = ssim_psnr_images(gt_i, pred_i, win, block, interpret)
+    s = s[:n].reshape(b, c).mean(axis=1)
+    q = q[:n].reshape(b, c).mean(axis=1)
+    return s, q

@@ -1,0 +1,31 @@
+"""Pallas fused SSIM kernel vs the XLA reference path (interpret mode on
+the CPU test backend; the compiled path is exercised by bench.py on TPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dvg_tpu.ops.pallas_ssim import ssim_psnr_batch_pallas
+from dvg_tpu.ops.ssim import ssim_psnr_batch
+
+
+@pytest.mark.parametrize("shape", [(5, 64, 64, 3), (4, 64, 64, 1)])
+def test_matches_xla_path(shape):
+    rng = np.random.RandomState(0)
+    gt = jnp.asarray(rng.rand(*shape).astype(np.float32))
+    pred = jnp.asarray(
+        (rng.rand(*shape) * 0.3 + np.asarray(gt) * 0.7).astype(np.float32))
+    s_ref, q_ref = ssim_psnr_batch(gt, pred)
+    s, q = ssim_psnr_batch_pallas(gt, pred, interpret=True)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(q), np.asarray(q_ref), atol=1e-3)
+
+
+def test_identical_images():
+    x = jnp.asarray(np.random.RandomState(1).rand(8, 64, 64, 1)
+                    .astype(np.float32))
+    s, q = ssim_psnr_batch_pallas(x, x, interpret=True)
+    np.testing.assert_allclose(np.asarray(s), 1.0, atol=1e-4)
+    assert np.all(np.asarray(q) > 100.0)   # mse floor → huge PSNR
