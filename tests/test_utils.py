@@ -1,0 +1,73 @@
+"""Visualization + logging utilities (reference utils.py:104-199 contracts)
+and CLI flag surface."""
+
+import json
+import os
+
+import numpy as np
+
+from dvg_tpu.utils.viz import (add_border, draw_text_image, image_grid,
+                               save_gif, save_gif_with_text, save_image)
+from dvg_tpu.utils.logging import MetricLogger
+
+
+def test_image_grid_layouts():
+    img = np.ones((8, 8, 3), np.float32) * 0.5
+    flat = image_grid([img, img], padding=2)        # vertical stack
+    assert flat.shape == (18, 8, 3)
+    grid = image_grid([[img, img], [img, img]], padding=2)
+    assert grid.shape[1] == 18                      # 2 cols + gutter
+    gray = image_grid(np.ones((8, 8), np.float32))
+    assert gray.shape == (8, 8, 3)
+
+
+def test_add_border_shapes_and_colors():
+    img = np.zeros((16, 16, 1), np.float32)
+    red = add_border(img, "red")
+    green = add_border(img, "green")
+    assert red.shape == (16 + 2 + 30, 16 + 2, 3)
+    assert red[0, 0, 0] == np.float32(0.7) and red[0, 0, 1] == 0
+    assert green[0, 0, 1] == np.float32(0.7) and green[0, 0, 0] == 0
+
+
+def test_writers(tmp_path):
+    img = np.random.RandomState(0).rand(16, 16, 3).astype(np.float32)
+    save_image(str(tmp_path / "a.png"), [[img, img]])
+    save_gif(str(tmp_path / "a.gif"), [img, img, img])
+    save_gif_with_text(str(tmp_path / "b.gif"),
+                       [[img, img]] * 3, [["a", "b"]] * 3)
+    for f in ("a.png", "a.gif", "b.gif"):
+        assert (tmp_path / f).stat().st_size > 0
+    cap = draw_text_image("hello", 64)
+    assert cap.shape == (30, 64, 3) and cap.max() > 0   # text rendered
+
+
+def test_metric_logger(tmp_path):
+    lg = MetricLogger(str(tmp_path), echo=False)
+    lg.log(1, {"loss": 2.0, "note": "x"})
+    lg.log(2, {"loss": 1.5}, kind="eval")
+    recs = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert recs[0]["loss"] == 2.0 and recs[1]["kind"] == "eval"
+    p = lg.save_arrays("arrs", a=np.ones((2, 2)))
+    assert np.load(p)["a"].sum() == 4
+
+
+def test_cli_flag_surface():
+    """Both CLIs accept the reference's full flag set; --model/--image_width
+    are honored for real (dead in the reference, SURVEY.md §5.6)."""
+    from dvg_tpu.cli.train import build_parser as train_parser
+    from dvg_tpu.cli.generate import build_parser as gen_parser
+    from dvg_tpu.config import DVGConfig
+
+    a = train_parser().parse_args([
+        "--dataset", "bair", "--model", "vgg", "--image_width", "128",
+        "--channels", "3", "--n_past", "2", "--n_future", "28",
+        "--batch_size", "7", "--lr", "0.001", "--no_ft"])
+    cfg = DVGConfig(**{k: v for k, v in vars(a).items()
+                       if k in DVGConfig.__dataclass_fields__})
+    assert (cfg.model, cfg.image_width, cfg.ft) == ("vgg", 128, False)
+    from dvg_tpu.models.registry import get_backbone
+    assert get_backbone(cfg.model, cfg.image_width).num_skips == 5
+
+    g = gen_parser().parse_args(["--model_dir", "/x", "--gp_trigger_flag"])
+    assert g.gp_trigger_flag is True and g.nsample == 100
