@@ -42,10 +42,12 @@ def main() -> int:
 
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
-    cfg = DVGConfig(dataset="bair", channels=3, image_width=64,
+    model_name = os.environ.get("BENCH_MODEL", "dcgan")   # dcgan | vgg
+    width = int(os.environ.get("BENCH_WIDTH", 64))        # 64 | 128
+    cfg = DVGConfig(dataset="bair", channels=3, image_width=width,
                     batch_size=batch, n_past=n_past,
                     n_future=n_eval - n_past, n_eval=n_eval,
-                    model="dcgan", nsample=nsample, dtype=dtype,
+                    model=model_name, nsample=nsample, dtype=dtype,
                     use_pallas=use_pallas)
     model = DVGModel(cfg)
     key = jax.random.PRNGKey(0)
@@ -55,7 +57,7 @@ def main() -> int:
 
     # synthetic context clip (content does not affect throughput)
     x = jax.random.uniform(jax.random.PRNGKey(1),
-                           (n_eval, batch, 64, 64, 3), jnp.float32)
+                           (n_eval, batch, width, width, 3), jnp.float32)
     x = jax.device_put(x)
 
     # the full eval protocol: all futures + in-scan SSIM/PSNR on device
@@ -87,8 +89,9 @@ def main() -> int:
     serial_total_fps = (n_eval - n_past) * batch / dt_serial
 
     rec = {
-        "metric": "generated frames/sec/chip (64x64 RGB, 100-future, "
-                  f"{nsample}-sample diverse rollout, batch {batch})",
+        "metric": (f"generated frames/sec/chip ({width}x{width} RGB {model_name}, "
+                   f"{n_eval - n_past}-future, {nsample}-sample diverse rollout, "
+                   f"batch {batch})"),
         "value": round(fps, 1),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / serial_total_fps, 2),

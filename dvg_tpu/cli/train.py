@@ -117,21 +117,26 @@ def main(argv=None) -> int:
     timer = StepTimer()
 
     # ---- epoch loop (reference train.py:340-392) ----------------------------
+    # keep the host ahead of the device: batches come from the Loader's
+    # prefetch thread, and per-step metrics accumulate ON DEVICE (a float()
+    # per step would sync the pipeline ~3x slower)
+    batches = iter(train_loader)
     for epoch in range(start_epoch, cfg.niter):
-        epoch_mse = 0.0
+        epoch_mse = jnp.zeros((), jnp.float32)
+        timer.start()
         for i in range(cfg.epoch_size):
-            x = train_loader.next_batch(epoch * cfg.epoch_size + i)
+            x = next(batches)
             if sharding is None:
                 x = jnp.asarray(x)
-            timer.start()
             state, metrics = step_fn(state, x)
-            timer.stop(metrics["loss"])
-            epoch_mse += float(metrics["mse_latent_per_frame"]) + float(
-                metrics.get("ft_mse_latent", 0.0))
+            epoch_mse = epoch_mse + metrics["mse_latent_per_frame"] \
+                + metrics.get("ft_mse_latent", 0.0)
+        epoch_mse = float(epoch_mse)          # one sync per epoch
+        epoch_s = timer.stop()
         logger.log(epoch, {"epoch_mse": epoch_mse / cfg.epoch_size,
                            "frames_seen": (epoch + 1) * cfg.epoch_size
                            * cfg.batch_size,
-                           "step_s": timer.mean}, kind="epoch")
+                           "step_s": epoch_s / cfg.epoch_size}, kind="epoch")
         print("[%02d] mse loss: %.5f (%d)" % (
             epoch, epoch_mse / cfg.epoch_size,
             epoch * cfg.epoch_size * cfg.batch_size))

@@ -71,6 +71,7 @@ class DVGConfig:
     # -- TPU-native knobs (no reference counterpart) --
     dtype: str = "float32"          # compute dtype for conv stacks
     use_pallas: bool = False        # route hot ops through Pallas kernels
+    eval_metric: str = "skimage"    # 'skimage' | 'finn' (utils.py:237-301)
     mesh_shape: tuple = ()          # e.g. (("data", 4), ("sample", 2))
     jit_backend: str = ""           # override jax backend for tests
 

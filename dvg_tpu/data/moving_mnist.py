@@ -116,7 +116,26 @@ class MovingMNIST:
         rng = np.random.default_rng((self.seed, start_index, batch_size))
         return self._generate(rng, batch_size)
 
-    def _generate(self, rng: np.random.Generator, b: int) -> np.ndarray:
+    # -- device-assembled batch (the TPU-feed fast path) ----------------------
+    def batch_parts(self, batch_size: int, start_index: int = 0):
+        """Host side of device assembly: (trajectories (T, n, 2) int32,
+        sprites (n, dsz, dsz) f32) — a few KB of integer math instead of
+        30 ms of numpy blitting on the feed thread."""
+        rng = np.random.default_rng((self.seed, start_index, batch_size))
+        traj, sprites = self._trajectories(rng, batch_size)
+        return traj.astype(np.int32), sprites
+
+    def device_batch(self, batch_size: int, start_index: int = 0):
+        """(T, B, H, W, 1) batch assembled ON DEVICE (jitted scatter-add)."""
+        import jax
+        traj, sprites = self.batch_parts(batch_size, start_index)
+        return _assemble_device(
+            jax.numpy.asarray(traj), jax.numpy.asarray(sprites),
+            batch_size, self.image_size, self.num_digits)
+
+    def _trajectories(self, rng: np.random.Generator, b: int):
+        """Sample digit ids + bouncing trajectories: ((T, n, 2) positions,
+        (n, dsz, dsz) sprites), n = b * num_digits."""
         t_len, size, dsz, nd = (self.seq_len, self.image_size,
                                 self.digit_size, self.num_digits)
         lim = size - dsz
@@ -126,7 +145,6 @@ class MovingMNIST:
         pos = rng.integers(0, lim + 1, (n, 2)).astype(np.int64)   # (y, x)
         vel = rng.integers(-4, 5, (n, 2)).astype(np.int64)
 
-        # precompute trajectories (host-side, tiny integer math)
         traj = np.zeros((t_len, n, 2), np.int64)
         for t in range(t_len):
             under = pos < 0
@@ -148,15 +166,62 @@ class MovingMNIST:
                 pos = np.clip(pos, 0, lim)
             traj[t] = pos
             pos = pos + vel
+        return traj, sprites
 
+    def _generate(self, rng: np.random.Generator, b: int) -> np.ndarray:
+        t_len, size, dsz, nd = (self.seq_len, self.image_size,
+                                self.digit_size, self.num_digits)
+        traj, sprites = self._trajectories(rng, b)
+
+        # batched blits: one fancy-indexed add per (frame, digit-slot) —
+        # within a statement every (row, y, x) target is unique (one sprite
+        # per batch row), so buffered += is exact; slots accumulate
+        # sequentially like the reference's per-digit adds
+        ar = np.arange(dsz)
+        ys = traj[:, :, 0, None] + ar                   # (T, n, dsz)
+        xs = traj[:, :, 1, None] + ar
+        rows = np.arange(b)[:, None, None]
         x = np.zeros((t_len, b, size, size, 1), np.float32)
+        spr = sprites.reshape(b, nd, dsz, dsz)
+        ys = ys.reshape(t_len, b, nd, dsz)
+        xs = xs.reshape(t_len, b, nd, dsz)
         for t in range(t_len):
-            for k in range(n):
-                bi = k // nd
-                sy, sx = traj[t, k]
-                x[t, bi, sy:sy + dsz, sx:sx + dsz, 0] += sprites[k]
+            for d in range(nd):
+                x[t, rows, ys[t, :, d, :, None], xs[t, :, d, None, :], 0] \
+                    += spr[:, d]
         np.clip(x, 0.0, 1.0, out=x)
         return x
+
+
+_ASSEMBLE_CACHE = {}
+
+
+def _assemble_device(traj, sprites, b: int, size: int, nd: int):
+    """Scatter-add the sprites onto the canvas on device (jit-cached):
+    traj (T, n, 2) int32, sprites (n, d, d) → (T, B, size, size, 1) f32."""
+    import jax
+    fn = _ASSEMBLE_CACHE.get("fn")
+    if fn is None:
+        fn = jax.jit(_assemble_body, static_argnums=(2, 3, 4))
+        _ASSEMBLE_CACHE["fn"] = fn
+    return fn(traj, sprites, b, size, nd)
+
+
+def _assemble_body(traj, sprites, b: int, size: int, nd: int):
+    import jax.numpy as jnp
+    t_len, n = traj.shape[0], traj.shape[1]
+    dsz = sprites.shape[-1]
+    ar = jnp.arange(dsz)
+    ys = traj[:, :, 0, None] + ar                       # (T, n, d)
+    xs = traj[:, :, 1, None] + ar
+    bi = (jnp.arange(n) // nd)                           # (n,)
+    lin = (((jnp.arange(t_len)[:, None] * b + bi[None, :])[:, :, None, None]
+            * size + ys[:, :, :, None]) * size + xs[:, :, None, :])
+    flat = jnp.zeros((t_len * b * size * size,), jnp.float32)
+    vals = jnp.broadcast_to(sprites[None], (t_len, n, dsz, dsz))
+    flat = flat.at[lin.reshape(-1)].add(vals.reshape(-1))
+    x = flat.reshape(t_len, b, size, size, 1)
+    return jnp.clip(x, 0.0, 1.0)
 
 
 def _resize_nearest(imgs: np.ndarray, out: int) -> np.ndarray:

@@ -75,9 +75,11 @@ class Loader:
 
     def __init__(self, dataset, batch_size: int, *, shuffle: bool = True,
                  seed: int = 0, num_threads: int = 4, prefetch: int = 2,
-                 sharding=None, drop_labels: bool = True):
+                 sharding=None, drop_labels: bool = True,
+                 device_assemble: bool = True):
         self.dataset = dataset
         self.batch_size = batch_size
+        self.device_assemble = device_assemble
         self.shuffle = shuffle
         self.seed = seed
         self.num_threads = max(1, num_threads)
@@ -101,6 +103,16 @@ class Loader:
         return (start + np.arange(self.batch_size)) % n
 
     def _build(self, step: int) -> np.ndarray:
+        # fastest path: synthetic datasets that assemble frames ON DEVICE —
+        # the host only computes trajectories (KBs), keeping the feed thread
+        # off the critical path entirely
+        if self.device_assemble and hasattr(self.dataset, "device_batch"):
+            batch = self.dataset.device_batch(
+                self.batch_size, start_index=step * self.batch_size)
+            if self.sharding is not None:
+                import jax
+                batch = jax.device_put(batch, self.sharding)
+            return batch
         # fast path: vectorized synthetic generator
         if hasattr(self.dataset, "sample_batch"):
             batch = self.dataset.sample_batch(

@@ -102,7 +102,7 @@ def _context_phase(model: DVGModel, params, stats, x, n_past: int):
 def _free_run(model: DVGModel, params, stats, cache: gp_mod.GPCache,
               hidden, skip, x_in, n_steps: int, fork_mask, keys,
               gp_mean_mode: bool, gt=None, row_ids=None,
-              use_pallas: bool = False):
+              use_pallas: bool = False, metric: str = "skimage"):
     """Closed-loop rollout for n_steps frames.
 
     fork_mask: (n_steps,) bool — steps that decode a GP sample of gp(h).
@@ -124,7 +124,9 @@ def _free_run(model: DVGModel, params, stats, cache: gp_mod.GPCache,
 
     def metrics_of(x_out, gt_pre_t):
         x_out = x_out.astype(jnp.float32)            # metrics always f32
-        if use_pallas:
+        if metric == "finn":
+            s, q = ssim_ops.finn_ssim_psnr_batch(gt_pre_t["gt"], x_out)
+        elif use_pallas:
             from dvg_tpu.ops.pallas_ssim import ssim_psnr_batch_pallas
             s, q = ssim_psnr_batch_pallas(gt_pre_t["gt"], x_out)
         else:
@@ -154,7 +156,7 @@ def _free_run(model: DVGModel, params, stats, cache: gp_mod.GPCache,
 
     if gt is None:
         xs = (fork_mask, keys)
-    elif use_pallas:
+    elif use_pallas or metric == "finn":
         xs = (fork_mask, keys, {"gt": gt.astype(jnp.float32)})
     else:
         # gt-side SSIM quantities for all steps in ONE batched pass —
@@ -245,7 +247,8 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
             return _free_run(model, params, stats, cache, hidden, skip,
                              x_in, n_free, fork_15, keys,
                              gp_mean_mode=False, gt=gt, row_ids=rows,
-                             use_pallas=cfg.use_pallas)
+                             use_pallas=cfg.use_pallas,
+                             metric=getattr(cfg, "eval_metric", "skimage"))
 
         s, q, m = jax.vmap(one)(jax.random.split(key, nsample))
         return {"ssim": s, "psnr": q, "mse": m}

@@ -197,6 +197,54 @@ def ssim_psnr_batch_pre(pre, pred: jnp.ndarray,
     return ssim_b, psnr_b
 
 
+def _gauss_filter_sep(x: jnp.ndarray, size: int = 11,
+                      sigma: float = 1.5) -> jnp.ndarray:
+    """Separable depthwise VALID Gaussian filter on (B, H, W, C) — the
+    Finn-style window (utils.py:270-273) as two 1-D convs."""
+    c = x.shape[-1]
+    half = size // 2
+    # arange(-half+1, half+1) has size-1 taps for odd `size` — the
+    # reference's fspecial_gauss quirk (its "11x11" window is 10x10);
+    # reproduced for parity with finn_ssim
+    coords = jnp.arange(-half + 1, half + 1, dtype=jnp.float32)
+    g1 = jnp.exp(-(coords ** 2) / (2.0 * sigma ** 2))
+    g1 = g1 / jnp.sum(g1)
+    k = g1.shape[0]
+    kh = jnp.broadcast_to(g1[:, None, None, None], (k, 1, 1, c))
+    kw = jnp.broadcast_to(g1[None, :, None, None], (1, k, 1, c))
+    dn = ("NHWC", "HWIO", "NHWC")
+    y = lax.conv_general_dilated(x, kh, (1, 1), "VALID",
+                                 dimension_numbers=dn, feature_group_count=c)
+    return lax.conv_general_dilated(y, kw, (1, 1), "VALID",
+                                    dimension_numbers=dn,
+                                    feature_group_count=c)
+
+
+def finn_ssim_psnr_batch(gt: jnp.ndarray, pred: jnp.ndarray
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched Finn-variant metrics for NHWC frames → ((B,), (B,)):
+    11x11 sigma=1.5 Gaussian window, biased covariances, L=1
+    (reference finn_ssim/finn_psnr, utils.py:266-301), channel-averaged."""
+    gt = gt.astype(jnp.float32)
+    pred = pred.astype(jnp.float32)
+    c = gt.shape[-1]
+    stack = jnp.concatenate([gt, pred, gt * gt, pred * pred, gt * pred],
+                            axis=-1)
+    m = _gauss_filter_sep(stack)
+    mu1, mu2, s11, s22, s12 = (m[..., i * c:(i + 1) * c] for i in range(5))
+    v1 = s11 - mu1 * mu1
+    v2 = s22 - mu2 * mu2
+    v12 = s12 - mu1 * mu2
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    s_map = ((2 * mu1 * mu2 + c1) * (2 * v12 + c2)
+             / ((mu1 * mu1 + mu2 * mu2 + c1) * (v1 + v2 + c2)))
+    ssim_b = jnp.mean(s_map, axis=(1, 2, 3))
+    mse_bc = jnp.mean((gt - pred) ** 2, axis=(1, 2))
+    psnr_b = jnp.mean(10.0 * jnp.log10(1.0 / jnp.maximum(mse_bc, 1e-12)),
+                      axis=-1)
+    return ssim_b, psnr_b
+
+
 def ssim_psnr_batch(gt: jnp.ndarray, pred: jnp.ndarray,
                     win_size: int = 7) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Channel-averaged SSIM + PSNR for a batch of NHWC frames → ((B,), (B,)).

@@ -126,3 +126,20 @@ def test_best_of_n():
     idx, best = best_of_n(m)
     ref = np.argmax(np.asarray(m).mean(-1), axis=-1)
     np.testing.assert_array_equal(np.asarray(idx), ref)
+
+
+def test_finn_metric_option(setup):
+    """cfg.eval_metric='finn' routes the in-scan metrics through the
+    Finn-variant math (reference utils.py:237-301)."""
+    cfg, model, params, stats, cache, fns, x = setup
+    from dvg_tpu.ops import ssim as S
+    cfg_f = cfg.replace(eval_metric="finn")
+    fns_f = make_rollout_fns(model, cfg_f, nsample=4)
+    key = jax.random.PRNGKey(21)
+    met = fns_f.diverse_metrics(params, stats, cache, x, key)
+    # frames are metric-independent: reuse the setup fns' (cached) diverse
+    gen = fns.diverse(params, stats, cache, x, key)
+    gt = x[cfg.n_past:]
+    s_ref, _ = S.finn_ssim_psnr_batch(gt[0], gen[0, cfg.n_past])
+    np.testing.assert_allclose(np.asarray(met["ssim"][0, 0]),
+                               np.asarray(s_ref), rtol=1e-4, atol=1e-5)
