@@ -143,3 +143,68 @@ def test_finn_metric_option(setup):
     s_ref, _ = S.finn_ssim_psnr_batch(gt[0], gen[0, cfg.n_past])
     np.testing.assert_allclose(np.asarray(met["ssim"][0, 0]),
                                np.asarray(s_ref), rtol=1e-4, atol=1e-5)
+
+
+def test_gp_trigger_matches_python_reference(setup):
+    """The scanned GP-trigger rollout must equal a straightforward Python
+    re-implementation of GPtrigger_gen's control flow (warmup window, rolling
+    threshold, per-step fork decision) using the same model functions."""
+    from dvg_tpu.models import gp as G
+    cfg, model, params, stats, cache, fns, x = setup
+    cfg3 = DVGConfig(dataset="smmnist", channels=1, image_width=64,
+                     batch_size=2, n_past=2, n_future=13, n_eval=15,
+                     g_dim=8, rnn_size=16, num_inducing_points=4)
+    fns3 = make_rollout_fns(model, cfg3, nsample=2)
+    x3 = jax.random.uniform(jax.random.PRNGKey(31), (15, 2, 64, 64, 1))
+    key = jax.random.PRNGKey(32)
+    frames, diag = fns3.gp_trigger(params, stats, cache, x3, key)
+
+    # ---- python reference ------------------------------------------------
+    b = 2
+    warmup, total = 12, 15
+    keys = jax.random.split(key, total)
+
+    def enc(xt):
+        (h, sk), _ = model.encode(params, stats, xt, train=False)
+        return h, sk
+
+    def var_norm(h):
+        v = G.cached_variance(cache, model.to_gp_layout(h))
+        return np.linalg.norm(np.asarray(v, np.float32), axis=0)
+
+    hidden = model.lstm_hidden_init(b)
+    x_in = x3[0]
+    window = []
+    ref_frames = []
+    skip = None
+    for i in range(warmup):
+        h, sk = enc(x_in)
+        if i < 5:
+            skip = sk
+        window.append(var_norm(h))
+        h_pred, hidden = model.predict_latent(params, hidden, h)
+        x_in, _ = model.decode(params, stats, h_pred, skip, train=False)
+        ref_frames.append(np.asarray(x_in))
+    window = np.stack(window)                       # (12, B)
+    ref_trigs, ref_vals = [], []
+    for i in range(warmup, total):
+        h, _ = enc(x_in)
+        value = var_norm(h)
+        window = np.concatenate([window[1:], value[None]], axis=0)
+        thresh = window.mean(0) + 2.01 * window.std(0)
+        h_pred, hidden = model.predict_latent(params, hidden, h)
+        sample = model.from_gp_layout(G.cached_rsample(
+            cache, model.to_gp_layout(h), keys[i]))
+        trig = value > thresh
+        latent = jnp.where(jnp.asarray(trig)[:, None], sample, h_pred)
+        x_in, _ = model.decode(params, stats, latent, skip, train=False)
+        ref_frames.append(np.asarray(x_in))
+        ref_trigs.append(trig)
+        ref_vals.append(value)
+
+    np.testing.assert_array_equal(np.asarray(diag["triggers"]),
+                                  np.stack(ref_trigs))
+    np.testing.assert_allclose(np.asarray(diag["values"]),
+                               np.stack(ref_vals), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(frames), np.stack(ref_frames),
+                               rtol=1e-5, atol=1e-6)
