@@ -72,6 +72,8 @@ class DVGConfig:
     dtype: str = "float32"          # compute dtype for conv stacks
     use_pallas: bool = False        # route hot ops through Pallas kernels
     eval_metric: str = "skimage"    # 'skimage' | 'finn' (utils.py:237-301)
+    remat: bool = False             # jax.checkpoint the conv sweeps in the
+                                    # train step (fits VGG-128 training in HBM)
     mesh_shape: tuple = ()          # e.g. (("data", 4), ("sample", 2))
     jit_backend: str = ""           # override jax backend for tests
 

@@ -91,17 +91,22 @@ def _fold_stats(old_stats, per_call_stats, weights, decay,
 # batched module sweeps
 # ---------------------------------------------------------------------------
 
-def encode_frames(model: DVGModel, params, stats, x, axis_name=None):
+def encode_frames(model: DVGModel, params, stats, x, axis_name=None,
+                  remat: bool = False):
     """Encode all T frames in one vmapped pass (train-mode BN per frame).
 
     x: (T, B, H, W, C) → (h (T,B,G), skips [per-stage (T,B,h,w,c)],
     per-frame stats with leading T axis). Under shard_map DP, `axis_name`
-    makes the per-frame BN statistics global-batch."""
+    makes the per-frame BN statistics global-batch. With `remat`, the
+    backward pass recomputes encoder activations instead of storing all T
+    frames' feature maps (trades ~1 extra forward for O(T) memory)."""
 
     def enc(xt):
         return model.encode(params, stats, xt, train=True,
                             axis_name=axis_name)
 
+    if remat:
+        enc = jax.checkpoint(enc)
     (h, skips), per_frame_stats = jax.vmap(enc)(x)
     return h, skips, per_frame_stats
 
@@ -120,7 +125,7 @@ def fold_encoder_stats(stats, per_frame_stats, seq_len: int, repeats: int = 2):
 
 
 def decode_variants(model: DVGModel, params, stats, latents, skips_sel,
-                    axis_name=None):
+                    axis_name=None, remat: bool = False):
     """Decode a (V, T-1, B, G) stack of latent variants against gathered
     skips (each (T-1, B, h, w, c)) in one vmapped pass with per-call BN.
 
@@ -136,6 +141,8 @@ def decode_variants(model: DVGModel, params, stats, latents, skips_sel,
         return model.decode(params, stats, h, list(sk), train=True,
                             axis_name=axis_name)
 
+    if remat:
+        dec = jax.checkpoint(dec)
     frames, per_call = jax.vmap(dec)(lat_flat, *skips_flat)
     frames = frames.reshape((v, tm1) + frames.shape[1:])
 
@@ -214,7 +221,7 @@ def joint_loss(params, stats, x, model: DVGModel, cfg: DVGConfig,
     tm1 = seq_len - 1
 
     h_all, skips, enc_per_frame = encode_frames(model, params, stats, x,
-                                                axis_name)
+                                                axis_name, remat=cfg.remat)
     h_pred = lstm_teacher_forced(params["frame_predictor"], h_all[:-1])
     h_target = h_all[1:]
 
@@ -229,7 +236,8 @@ def joint_loss(params, stats, x, model: DVGModel, cfg: DVGConfig,
     skips_sel = skip_gather(skips, seq_len, cfg.n_past, cfg.last_frame_skip)
     latents = jnp.stack([h_pred, h_target, gp_mean])    # (3, T-1, B, G)
     frames, dec_stats = decode_variants(model, params, stats, latents,
-                                        skips_sel, axis_name)
+                                        skips_sel, axis_name,
+                                        remat=cfg.remat)
     x_true = x[1:]
     mse = jnp.mean((frames[0] - x_true) ** 2) * tm1
     ae_mse = jnp.mean((frames[1] - x_true) ** 2) * tm1
@@ -264,7 +272,7 @@ def lstm_finetune_loss(fp_params, frozen_params, stats, x, model, cfg,
     zeroed unstepped — equivalent to stop_gradient here)."""
     params = dict(frozen_params, frame_predictor=fp_params)
     h_all, _, enc_per_frame = encode_frames(model, params, stats, x,
-                                            axis_name)
+                                            axis_name, remat=cfg.remat)
     h_all = jax.lax.stop_gradient(h_all)
     h_pred = lstm_teacher_forced(params["frame_predictor"], h_all[:-1])
     tm1 = x.shape[0] - 1
@@ -287,7 +295,7 @@ def gp_finetune_loss(gp_group, frozen_params, stats, x, model, cfg,
         b = b * jax.lax.psum(1, axis_name)
     tm1 = x.shape[0] - 1
     h_all, _, enc_per_frame = encode_frames(model, params, stats, x,
-                                            axis_name)
+                                            axis_name, remat=cfg.remat)
     h_all = jax.lax.stop_gradient(h_all)
     gx, gy = _gp_pairs(h_all)
     elbo_t = jax.vmap(lambda xt, yt: gp_mod.elbo(
