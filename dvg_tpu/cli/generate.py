@@ -61,6 +61,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gif_rows", type=int, default=10,
                    help="batch rows to render GIFs for (the reference's "
                         "early-return quirk yields 1/call; we default 10)")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--use_pallas", action="store_true",
+                   help="fused Pallas SSIM kernel for the in-scan metrics")
+    p.add_argument("--finn", action="store_true",
+                   help="Finn-variant SSIM/PSNR (utils.py:237-301)")
     return p
 
 
@@ -89,7 +95,9 @@ def main(argv=None) -> int:
     cfg = cfg.replace(log_dir=args.log_dir, dataset=args.dataset,
                       data_root=args.data_root,
                       gp_trigger_flag=args.gp_trigger_flag,
-                      nsample=args.nsample)
+                      nsample=args.nsample, dtype=args.dtype,
+                      use_pallas=args.use_pallas,
+                      eval_metric="finn" if args.finn else "skimage")
     if args.override_n_eval:
         cfg = cfg.replace(n_eval=args.override_n_eval,
                           n_future=args.override_n_eval - cfg.n_past)

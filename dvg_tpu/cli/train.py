@@ -64,6 +64,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--ckpt_every", type=int, default=4)
     p.add_argument("--trace_dir", default="")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="conv/LSTM compute dtype (bf16 mixed precision: "
+                        "f32 master params, losses, GP, BN statistics)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize conv sweeps (fits VGG-128 in HBM)")
     return p
 
 

@@ -167,6 +167,9 @@ def batchnorm_apply(p: Params, stats: Params, x: jnp.ndarray, train: bool,
     statistics over the GLOBAL batch (cross-chip pmean) — exact single-chip
     semantics at any device count."""
     if train:
+        # batch statistics always accumulate in f32 (bf16 means/variances
+        # drift the running stats); normalization output keeps x's dtype
+        x32 = x.astype(jnp.float32)
         axes = tuple(range(x.ndim - 1))
         n = x.size // x.shape[-1]
         if axis_name is not None:
@@ -174,13 +177,13 @@ def batchnorm_apply(p: Params, stats: Params, x: jnp.ndarray, train: bool,
             # identical algorithm to the single-device jnp.var path; the
             # one-pass E[x²]-μ² form loses ~3 digits to cancellation and
             # visibly shifts downstream training numerics
-            mean = lax.pmean(jnp.mean(x, axis=axes), axis_name)
-            var = lax.pmean(jnp.mean((x - mean) ** 2, axis=axes), axis_name)
+            mean = lax.pmean(jnp.mean(x32, axis=axes), axis_name)
+            var = lax.pmean(jnp.mean((x32 - mean) ** 2, axis=axes), axis_name)
             n = n * lax.psum(1, axis_name)
             unbiased = var * (n / jnp.maximum(n - 1, 1))
         else:
-            mean = jnp.mean(x, axis=axes)
-            var = jnp.var(x, axis=axes)
+            mean = jnp.mean(x32, axis=axes)
+            var = jnp.var(x32, axis=axes)
             unbiased = var * (n / max(n - 1, 1))
         new_stats = {
             "mean": (1 - momentum) * stats["mean"] + momentum * mean,
@@ -190,7 +193,8 @@ def batchnorm_apply(p: Params, stats: Params, x: jnp.ndarray, train: bool,
         mean, var = stats["mean"], stats["var"]
         new_stats = stats
     inv = lax.rsqrt(var + eps)
-    y = (x - mean) * (inv * p["scale"]) + p["bias"]
+    y = ((x - mean) * (inv * p["scale"].astype(jnp.float32))
+         + p["bias"].astype(jnp.float32)).astype(x.dtype)
     return y, new_stats
 
 

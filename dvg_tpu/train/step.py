@@ -167,7 +167,7 @@ def lstm_teacher_forced(params, h_in):
     tm1, b = h_in.shape[0], h_in.shape[1]
     n_layers = len(params["cells"])
     hidden0 = rnn_mod.lstm_hidden_init(b, params["cells"][0]["w_hh"].shape[0],
-                                       n_layers)
+                                       n_layers, dtype=h_in.dtype)
 
     def step(hidden, x_t):
         out, hidden = rnn_mod.lstm_apply(params, hidden, x_t)
@@ -206,6 +206,25 @@ def _gp_pairs(h_all):
     return x, y
 
 
+def _mixed_cast(params, x, cfg: DVGConfig):
+    """cfg.dtype='bfloat16' mixed precision: the conv/LSTM compute runs in
+    bf16 (the cast is differentiable — grads accumulate back into the f32
+    master params); GP/likelihood params and all loss math stay f32."""
+    if cfg.dtype != "bfloat16":
+        return params, x
+    bf = jnp.bfloat16
+
+    def cast(t):
+        return jax.tree.map(
+            lambda a: a.astype(bf) if a.dtype == jnp.float32 else a, t)
+
+    params = dict(params,
+                  encoder=cast(params["encoder"]),
+                  decoder=cast(params["decoder"]),
+                  frame_predictor=cast(params["frame_predictor"]))
+    return params, x.astype(bf)
+
+
 def joint_loss(params, stats, x, model: DVGModel, cfg: DVGConfig,
                axis_name=None):
     """The train_model loss (train.py:213-239). Returns (loss, aux).
@@ -214,6 +233,7 @@ def joint_loss(params, stats, x, model: DVGModel, cfg: DVGConfig,
     num_data stays the GLOBAL batch size, and every loss term is pmean'd —
     so the pmean's psum-backward makes local gradients exactly the global-
     batch gradients."""
+    params, x = _mixed_cast(params, x, cfg)
     seq_len = x.shape[0]
     b = x.shape[1]
     if axis_name is not None:
@@ -225,24 +245,29 @@ def joint_loss(params, stats, x, model: DVGModel, cfg: DVGConfig,
     h_pred = lstm_teacher_forced(params["frame_predictor"], h_all[:-1])
     h_target = h_all[1:]
 
-    gx, gy = _gp_pairs(h_all)                           # (T-1, G, B, 1/·)
+    # GP math (Cholesky/ELBO) always in f32, whatever the conv compute dtype
+    gx, gy = _gp_pairs(h_all.astype(jnp.float32))       # (T-1, G, B, 1/·)
     elbo_t = jax.vmap(lambda xt, yt: gp_mod.elbo(
         params["gp"], params["likelihood"], xt, yt, num_data=b))(gx, gy)
     max_ll_sum = -jnp.sum(elbo_t)
     gp_mean_t = jax.vmap(
         lambda xt: gp_mod.posterior(params["gp"], xt).mean)(gx)  # (T-1,G,B)
-    gp_mean = jnp.swapaxes(gp_mean_t, 1, 2)             # (T-1, B, G)
+    gp_mean = jnp.swapaxes(gp_mean_t, 1, 2).astype(h_pred.dtype)
 
     skips_sel = skip_gather(skips, seq_len, cfg.n_past, cfg.last_frame_skip)
     latents = jnp.stack([h_pred, h_target, gp_mean])    # (3, T-1, B, G)
     frames, dec_stats = decode_variants(model, params, stats, latents,
                                         skips_sel, axis_name,
                                         remat=cfg.remat)
-    x_true = x[1:]
+    # loss terms in f32 regardless of compute dtype
+    frames = frames.astype(jnp.float32)
+    x_true = x[1:].astype(jnp.float32)
+    h_pred32 = h_pred.astype(jnp.float32)
+    h_target32 = h_target.astype(jnp.float32)
     mse = jnp.mean((frames[0] - x_true) ** 2) * tm1
     ae_mse = jnp.mean((frames[1] - x_true) ** 2) * tm1
     mse_gp = jnp.mean((frames[2] - x_true) ** 2) * tm1
-    mse_latent = jnp.mean((h_pred - h_target) ** 2) * tm1
+    mse_latent = jnp.mean((h_pred32 - h_target32) ** 2) * tm1
     if axis_name is not None:
         mse, ae_mse, mse_gp, mse_latent, max_ll_sum = jax.tree.map(
             lambda v: jax.lax.pmean(v, axis_name),
@@ -271,12 +296,14 @@ def lstm_finetune_loss(fp_params, frozen_params, stats, x, model, cfg,
     the frame_predictor only (encoder receives grads in torch but they are
     zeroed unstepped — equivalent to stop_gradient here)."""
     params = dict(frozen_params, frame_predictor=fp_params)
+    params, x = _mixed_cast(params, x, cfg)
     h_all, _, enc_per_frame = encode_frames(model, params, stats, x,
                                             axis_name, remat=cfg.remat)
     h_all = jax.lax.stop_gradient(h_all)
     h_pred = lstm_teacher_forced(params["frame_predictor"], h_all[:-1])
     tm1 = x.shape[0] - 1
-    mse_latent = jnp.mean((h_pred - h_all[1:]) ** 2) * tm1
+    mse_latent = jnp.mean((h_pred.astype(jnp.float32)
+                           - h_all[1:].astype(jnp.float32)) ** 2) * tm1
     if axis_name is not None:
         mse_latent = jax.lax.pmean(mse_latent, axis_name)
     new_stats = fold_encoder_stats(stats, enc_per_frame, x.shape[0])
@@ -290,6 +317,7 @@ def gp_finetune_loss(gp_group, frozen_params, stats, x, model, cfg,
     gp + likelihood only; exact toeplitz-free dense math throughout."""
     params = dict(frozen_params, gp=gp_group["gp"],
                   likelihood=gp_group["likelihood"])
+    params, x = _mixed_cast(params, x, cfg)
     b = x.shape[1]
     if axis_name is not None:
         b = b * jax.lax.psum(1, axis_name)
@@ -297,7 +325,7 @@ def gp_finetune_loss(gp_group, frozen_params, stats, x, model, cfg,
     h_all, _, enc_per_frame = encode_frames(model, params, stats, x,
                                             axis_name, remat=cfg.remat)
     h_all = jax.lax.stop_gradient(h_all)
-    gx, gy = _gp_pairs(h_all)
+    gx, gy = _gp_pairs(h_all.astype(jnp.float32))
     elbo_t = jax.vmap(lambda xt, yt: gp_mod.elbo(
         params["gp"], params["likelihood"], xt, yt, num_data=b))(gx, gy)
     loss = -jnp.sum(elbo_t)
