@@ -117,14 +117,34 @@ def main(argv=None) -> int:
     test_loader = Loader(test_ds, cfg.batch_size, shuffle=False,
                          seed=cfg.seed, num_threads=args.data_threads)
 
-    mesh = None
-    if args.mesh_samples > 1:
-        mesh = make_mesh([("sample", args.mesh_samples), ("data", -1)])
     fns = make_rollout_fns(model, cfg, nsample=cfg.nsample)
     posterior = jax.jit(fns.posterior)
-    metrics_fn = jax.jit(fns.diverse_metrics)
     select_fn = jax.jit(fns.diverse_select)
     trigger = jax.jit(fns.gp_trigger)
+    if args.mesh_samples > 1:
+        # sample-parallel eval: each device rolls out nsample/N futures
+        from dvg_tpu.parallel import shard_diverse_rollout
+        assert cfg.nsample % args.mesh_samples == 0
+        s_local = cfg.nsample // args.mesh_samples
+        mesh = make_mesh([("sample", args.mesh_samples)])
+        local_fns = make_rollout_fns(model, cfg, nsample=s_local)
+        metrics_fn = shard_diverse_rollout(local_fns.diverse_metrics, mesh)
+        base_select = jax.jit(local_fns.diverse_select)
+
+        def select_fn(params, stats, cache, x_row, key, ids, rows):
+            # global sample id g lived on device g // s_local with local
+            # index g % s_local under key fold_in(key, device) — translate
+            # so re-rolls reproduce the scored futures exactly
+            outs = []
+            for g in np.asarray(ids):
+                dev, loc = divmod(int(g), s_local)
+                outs.append(base_select(
+                    params, stats, cache, x_row,
+                    jax.random.fold_in(key, dev),
+                    jnp.asarray([int(loc)]), rows))
+            return jnp.concatenate(outs, axis=0)
+    else:
+        metrics_fn = jax.jit(fns.diverse_metrics)
 
     for bi in range(args.num_batches):
         print(f"batch {bi}: loading...", flush=True)

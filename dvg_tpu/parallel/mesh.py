@@ -71,18 +71,24 @@ def shard_train_step(step_fn, mesh: Mesh, batch_axis: str = "data"):
                    out_shardings=(rep, rep), donate_argnums=(0,))
 
 
-def shard_diverse_rollout(rollout_fn, mesh: Mesh,
-                          sample_axis: str = "sample",
-                          batch_axis: Optional[str] = "data"):
-    """Wrap a (params, stats, cache, x, key) -> (S, T, B, ...) diverse
-    rollout: samples shard over `sample_axis`, the eval batch over
-    `batch_axis` (if present in the mesh). Rollouts are embarrassingly
-    parallel across both axes; XLA partitions the vmap accordingly."""
-    rep = replicate(mesh)
-    axes = dict(mesh.shape)
-    bspec = batch_axis if (batch_axis and batch_axis in axes) else None
-    x_sh = NamedSharding(mesh, P(None, bspec))            # (T, B, ...)
-    out_sh = NamedSharding(mesh, P(sample_axis, None, bspec))  # (S, T, B,...)
-    return jax.jit(rollout_fn,
-                   in_shardings=(rep, rep, rep, x_sh, rep),
-                   out_shardings=out_sh)
+def shard_diverse_rollout(metrics_fn, mesh: Mesh,
+                          sample_axis: str = "sample"):
+    """Sample-parallel diverse eval: wrap a per-device
+    (params, stats, cache, x, key) -> {"ssim","psnr","mse": (S_local, T, B)}
+    metrics rollout in a shard_map over `sample_axis`. Each device generates
+    its own slice of futures (key folded by its mesh position — ZERO
+    cross-chip traffic during the scan); outputs concatenate over samples.
+    Build `metrics_fn` with nsample = S_total / mesh.shape[sample_axis]."""
+    from jax.experimental.shard_map import shard_map
+
+    def local(params, stats, cache, x, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index(sample_axis))
+        return metrics_fn(params, stats, cache, x, key)
+
+    sharded = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=jax.tree_util.tree_map(lambda _: P(sample_axis),
+                                         {"ssim": 0, "psnr": 0, "mse": 0}),
+        check_rep=False)
+    return jax.jit(sharded)
