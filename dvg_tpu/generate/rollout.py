@@ -50,7 +50,6 @@ import numpy as np
 
 from dvg_tpu.config import DVGConfig
 from dvg_tpu.models import gp as gp_mod
-from dvg_tpu.models import rnn as rnn_mod
 from dvg_tpu.models.dvg import DVGModel
 
 

@@ -25,7 +25,6 @@ Layout notes (TPU-first):
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Tuple
 
 import jax

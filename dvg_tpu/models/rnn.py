@@ -25,7 +25,7 @@ so numerics match a faithful port even though weights are stored fused
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ The same code paths run on the 8-device virtual CPU mesh in tests
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import numpy as np

@@ -15,7 +15,7 @@ Reference wiring (/root/reference/train.py:95-106):
 from __future__ import annotations
 
 from bisect import bisect_right
-from typing import Dict, NamedTuple, Sequence
+from typing import Dict, NamedTuple
 
 import jax.numpy as jnp
 import optax

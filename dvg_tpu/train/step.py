@@ -46,7 +46,6 @@ the leak is an accumulation artifact of `.backward()`, not a design.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Tuple
 
 import jax

@@ -17,7 +17,7 @@ All functions take float arrays in [0, 1], channel-last (H, W, C) or
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 
