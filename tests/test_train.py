@@ -165,3 +165,19 @@ def test_sharded_loss_and_grads_match_single_device():
         scale = max(np.abs(a).max(), np.abs(b).max())
         assert np.abs(a - b).max() <= 1e-2 * scale + 5e-3, \
             (np.abs(a - b).max(), scale)
+
+def test_bf16_mixed_precision_loss():
+    """cfg.dtype='bfloat16': loss stays f32 and finite; params/grads remain
+    f32 masters (the conv compute runs bf16 internally)."""
+    cfg = tiny_cfg(dtype="bfloat16")
+    model, state, opts = S.init_train_state(cfg, jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (3, 2, 64, 64, 1))
+    (loss, aux), grads = jax.value_and_grad(S.joint_loss, has_aux=True)(
+        state.params, state.stats, x, model, cfg)
+    assert loss.dtype == jnp.float32 and np.isfinite(float(loss))
+    for g in jax.tree_util.tree_leaves(grads):
+        assert g.dtype == jnp.float32
+    # loss close to the f32 path (bf16 conv rounding tolerance)
+    cfg32 = tiny_cfg()
+    loss32, _ = S.joint_loss(state.params, state.stats, x, model, cfg32)
+    np.testing.assert_allclose(float(loss), float(loss32), rtol=2e-2)
