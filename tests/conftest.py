@@ -19,3 +19,9 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# persistent compile cache: the conv-heavy train/rollout graphs dominate the
+# suite's runtime on first compile; cached reruns cut minutes
+import dvg_tpu  # noqa: E402
+
+dvg_tpu.enable_compilation_cache()
