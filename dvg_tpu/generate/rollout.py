@@ -278,8 +278,10 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
             if metric == "finn":
                 s_v, q_v = ssim_ops.finn_ssim_psnr_batch(tile(gt_t), x_out)
             elif cfg.use_pallas:
-                from dvg_tpu.ops.pallas_ssim import ssim_psnr_batch_pallas
-                s_v, q_v = ssim_psnr_batch_pallas(tile(gt_t), x_out)
+                # cyclic gt indexing: the (B,...) ground truth never tiles
+                # to (S·B,...) in HBM
+                from dvg_tpu.ops.pallas_ssim import ssim_psnr_batch_pallas_cyclic
+                s_v, q_v = ssim_psnr_batch_pallas_cyclic(gt_t, x_out)
             else:
                 pre_tiled = jax.tree.map(tile, pre_t)
                 s_v, q_v = ssim_ops.ssim_psnr_batch_pre(pre_tiled, x_out)

@@ -29,3 +29,17 @@ def test_identical_images():
     s, q = ssim_psnr_batch_pallas(x, x, interpret=True)
     np.testing.assert_allclose(np.asarray(s), 1.0, atol=1e-4)
     assert np.all(np.asarray(q) > 100.0)   # mse floor → huge PSNR
+
+
+def test_cyclic_gt_layout():
+    """The cyclic-gt variant (diverse-sample layout: pred row p vs gt row
+    p % B) matches the tiled pairwise reference."""
+    from dvg_tpu.ops.pallas_ssim import ssim_psnr_batch_pallas_cyclic
+    rng = np.random.RandomState(2)
+    b, s = 5, 3
+    gt = jnp.asarray(rng.rand(b, 64, 64, 3).astype(np.float32))
+    pred = jnp.asarray(rng.rand(s * b, 64, 64, 3).astype(np.float32))
+    sv, qv = ssim_psnr_batch_pallas_cyclic(gt, pred, interpret=True)
+    s_ref, q_ref = ssim_psnr_batch(jnp.tile(gt, (s, 1, 1, 1)), pred)
+    np.testing.assert_allclose(np.asarray(sv), np.asarray(s_ref), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(qv), np.asarray(q_ref), atol=1e-3)
