@@ -131,92 +131,6 @@ def ssim_psnr_images(gt: jnp.ndarray, pred: jnp.ndarray, win: int = 7,
     return ssim.reshape(n), psnr.reshape(n)
 
 
-def _grouped_kernel(gt_ref, pred_ref, wh_ref, ww_ref, ssim_ref, psnr_ref,
-                    *, win: int, hw: int, block: int):
-    """One gt image scored against a block of predictions (the diverse-
-    sample layout): gt-side moments compute once per program."""
-    wh = wh_ref[...]
-    ww = ww_ref[...]
-    n = win * win
-    cov_norm = n / (n - 1.0)
-    i = pl.program_id(0)
-
-    def box(x):
-        y = jnp.dot(x, ww.T, preferred_element_type=jnp.float32)
-        return jnp.dot(wh, y, preferred_element_type=jnp.float32)
-
-    gt = gt_ref[0].astype(jnp.float32)
-    mg = jnp.mean(gt)
-    gc = gt - mg
-    bux = box(gc)
-    vx = cov_norm * (box(gc * gc) - bux * bux)
-    ux = bux + mg
-    dr = jnp.maximum(jnp.max(gt) - jnp.min(gt), 1e-6)
-    c1 = (0.01 * dr) ** 2
-    c2 = (0.03 * dr) ** 2
-
-    ssim_vals, psnr_vals = [], []
-    for k in range(block):
-        pred = pred_ref[k].astype(jnp.float32)
-        mp = jnp.mean(pred)
-        pc = pred - mp
-        buy = box(pc)
-        uy = buy + mp
-        vy = cov_norm * (box(pc * pc) - buy * buy)
-        vxy = cov_norm * (box(gc * pc) - bux * buy)
-        s_map = ((2.0 * ux * uy + c1) * (2.0 * vxy + c2)
-                 / ((ux ** 2 + uy ** 2 + c1) * (vx + vy + c2)))
-        ssim_vals.append(jnp.mean(s_map))
-        mse = jnp.sum((gt - pred) ** 2) / hw
-        psnr_vals.append(10.0 * jnp.log10(1.0 / jnp.maximum(mse, 1e-12)))
-
-    ssim_ref[i, :] = jnp.stack(ssim_vals)
-    psnr_ref[i, :] = jnp.stack(psnr_vals)
-
-
-def ssim_psnr_grouped(gt: jnp.ndarray, pred: jnp.ndarray, block: int,
-                      win: int = 7, interpret: bool = False
-                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Grouped scoring: gt (G, H, W) vs pred (G*S, H, W) laid out gt-major
-    (pred rows g*S + s). `block` must divide S. Returns ((G*S,), (G*S,))."""
-    g, h, w = gt.shape
-    n_pred = pred.shape[0]
-    s_per = n_pred // g
-    assert s_per * g == n_pred and s_per % block == 0, (g, n_pred, block)
-    if not _PALLAS_OK:                               # pragma: no cover
-        from dvg_tpu.ops.ssim import ssim_psnr_batch
-        gt_full = jnp.repeat(gt, s_per, axis=0)
-        return ssim_psnr_batch(gt_full[..., None], pred[..., None], win)
-    wh = jnp.asarray(_band(h - win + 1, h, win))
-    ww = jnp.asarray(_band(w - win + 1, w, win))
-    grid = (n_pred // block,)
-    blocks_per_group = s_per // block
-    kern = functools.partial(_grouped_kernel, win=win, hw=h * w, block=block)
-    out_shape = (jax.ShapeDtypeStruct((n_pred // block, block), jnp.float32),
-                 jax.ShapeDtypeStruct((n_pred // block, block), jnp.float32))
-    ssim, psnr = pl.pallas_call(
-        kern,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, h, w), lambda i: (i // blocks_per_group, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, h, w), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((h - win + 1, h), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((w - win + 1, w), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(pl.BlockSpec((n_pred // block, block), lambda i: (0, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((n_pred // block, block), lambda i: (0, 0),
-                                memory_space=pltpu.VMEM)),
-        out_shape=out_shape,
-        interpret=interpret,
-    )(gt, pred, wh, ww)
-    return ssim.reshape(n_pred), psnr.reshape(n_pred)
-
-
 def ssim_psnr_cyclic(gt: jnp.ndarray, pred: jnp.ndarray, win: int = 7,
                      interpret: bool = False
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
