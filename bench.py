@@ -6,12 +6,15 @@ futures per clip, batch 50 (reference generate_frames.py:47-49, 138-178).
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
 
-The reference repo publishes no numbers (BASELINE.md), so `vs_baseline` is
-measured against a faithful emulation of the reference's execution model on
-the SAME chip: a serial per-sample Python loop whose every frame round-trips
-device→host (the torch loop's .cpu().numpy() per frame,
-generate_frames.py:175-176) and rolls out one sample at a time. Our number
-is the single vmapped-scan rollout of all 100 futures.
+The reference repo publishes no numbers (BASELINE.md), so `vs_baseline`
+measures against an emulation of the reference's execution model on the
+SAME chip: one sample at a time, one frame at a time, each frame a separate
+device call synced before the next (the torch loop, generate_frames.py:
+143-178). `vs_baseline` uses the conservative variant (per-frame device
+sync, no host copy); `detail` also reports the faithful variant including
+the reference's per-frame .cpu().numpy() round-trips
+(generate_frames.py:175-176). Our number is one merged-batch scan over all
+futures.
 
 Env knobs: BENCH_SAMPLES, BENCH_BATCH, BENCH_NEVAL, BENCH_SERIAL_SAMPLES.
 """
@@ -74,19 +77,46 @@ def main() -> int:
     frames = nsample * (n_eval - n_past) * batch
     fps = frames / dt
 
-    # ---- reference-execution-model emulation (serial, host-synced) ---------
-    serial_s = int(os.environ.get("BENCH_SERIAL_SAMPLES", 3))
-    single = make_rollout_fns(model, cfg, nsample=1)
-    single_j = jax.jit(single.diverse_metrics)
-    _ = jax.block_until_ready(single_j(params, stats, cache, x,
-                                       jax.random.PRNGKey(9)))
+    # ---- reference-execution-model emulation -------------------------------
+    # the PyTorch loop (generate_frames.py:143-178) runs ONE sample at a
+    # time, ONE frame at a time, copying every frame to host
+    # (.cpu().numpy(), lines 175-176). Emulate exactly that: per-frame
+    # jitted module calls from Python with a host fetch per frame.
+    serial_frames = int(os.environ.get("BENCH_SERIAL_FRAMES", 200))
+
+    @jax.jit
+    def one_frame(params, stats, cache, hidden, x_in, key):
+        (h, _), _ = model.encode(params, stats, x_in, train=False)
+        h_pred, hidden = model.predict_latent(params, hidden, h)
+        from dvg_tpu.models import gp as gp_mod
+        samp = model.from_gp_layout(gp_mod.cached_rsample(
+            cache, model.to_gp_layout(h), key))
+        x_out, _ = model.decode(params, stats, h_pred, skip_holder, train=False)
+        return hidden, x_out
+
+    # fixed skip from the context frame, like the reference's stale skip
+    (hh, skip_holder), _ = model.encode(params, stats, x[0], train=False)
+    hidden = model.lstm_hidden_init(batch)
+    x_in = x[0]
+    hidden, x_in = one_frame(params, stats, cache, hidden, x_in,
+                             jax.random.PRNGKey(0))
+    np.asarray(x_in)                       # warm + sync
+    # conservative variant: per-frame device sync, NO host transfer (a local
+    # GPU's .cpu() would cost less than this tunnel's round-trip)
     t0 = time.perf_counter()
-    for s in range(serial_s):
-        m = single_j(params, stats, cache, x, jax.random.PRNGKey(10 + s))
-        # the reference's loop syncs to host every sample (and every frame)
-        jax.tree.map(np.asarray, m)
-    dt_serial = (time.perf_counter() - t0) / serial_s
-    serial_total_fps = (n_eval - n_past) * batch / dt_serial
+    for t in range(serial_frames):
+        hidden, x_in = one_frame(params, stats, cache, hidden, x_in,
+                                 jax.random.PRNGKey(t))
+        jax.block_until_ready(x_in)
+    dt_serial = time.perf_counter() - t0
+    serial_total_fps = serial_frames * batch / dt_serial
+    # faithful variant incl. the reference's per-frame .cpu().numpy()
+    t0 = time.perf_counter()
+    for t in range(serial_frames):
+        hidden, x_in = one_frame(params, stats, cache, hidden, x_in,
+                                 jax.random.PRNGKey(t))
+        np.asarray(x_in)
+    serial_fetch_fps = serial_frames * batch / (time.perf_counter() - t0)
 
     rec = {
         "metric": (f"generated frames/sec/chip ({width}x{width} RGB {model_name}, "
@@ -98,6 +128,7 @@ def main() -> int:
         "detail": {
             "batched_s_per_rollout": round(dt, 4),
             "serial_emulation_fps": round(serial_total_fps, 1),
+            "serial_with_per_frame_host_copies_fps": round(serial_fetch_fps, 1),
             "device": str(jax.devices()[0]),
             "dtype": dtype,
         },
