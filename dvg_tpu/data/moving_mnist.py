@@ -142,13 +142,17 @@ class MovingMNIST:
         n = b * nd
         idx = rng.integers(0, len(self.digits), n)
         sprites = self.digits[idx]                      # (n, dsz, dsz)
-        pos = rng.integers(0, lim + 1, (n, 2)).astype(np.int64)   # (y, x)
+        # start positions randint(0, size - dsz) → [0, lim-1]
+        # (reference moving_mnist.py:52-53)
+        pos = rng.integers(0, lim, (n, 2)).astype(np.int64)       # (y, x)
         vel = rng.integers(-4, 5, (n, 2)).astype(np.int64)
 
         traj = np.zeros((t_len, n, 2), np.int64)
         for t in range(t_len):
+            # bounce triggers at pos >= lim and clamps to lim-1
+            # (reference moving_mnist.py:56-64)
             under = pos < 0
-            over = pos > lim
+            over = pos >= lim
             if under.any() or over.any():
                 if self.deterministic:
                     vel = np.where(under | over, -vel, vel)
@@ -163,7 +167,7 @@ class MovingMNIST:
                     # reference's stochastic branch
                     hit_any = (under | over).any(axis=1, keepdims=True)
                     vel = np.where(hit_any & ~(under | over), new_other, vel)
-                pos = np.clip(pos, 0, lim)
+                pos = np.where(under, 0, np.where(over, lim - 1, pos))
             traj[t] = pos
             pos = pos + vel
         return traj, sprites

@@ -15,8 +15,9 @@ WHOLE metric in one pass per image block:
   * one scalar pair written per image — the (N, h', w') moment maps never
     touch HBM.
 
-Semantics identical to ops/ssim.py `ssim_psnr_batch` (skimage
-compare_ssim: uniform window, unbiased covariances, data_range from gt).
+Semantics identical to ops/ssim.py `ssim_psnr_batch` (skimage ≤0.17
+compare_ssim/compare_psnr float defaults: uniform window, unbiased
+covariances, data_range = 2.0).
 """
 
 from __future__ import annotations
@@ -27,6 +28,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from dvg_tpu.ops.ssim import DATA_RANGE as _DATA_RANGE
 
 try:
     from jax.experimental import pallas as pl
@@ -73,14 +76,14 @@ def _kernel(gt_ref, pred_ref, wh_ref, ww_ref, ssim_ref, psnr_ref,
         vx = cov_norm * (box(gc * gc) - bux * bux)
         vy = cov_norm * (box(pc * pc) - buy * buy)
         vxy = cov_norm * (box(gc * pc) - bux * buy)
-        dr = jnp.maximum(jnp.max(gt) - jnp.min(gt), 1e-6)
-        c1 = (0.01 * dr) ** 2
-        c2 = (0.03 * dr) ** 2
+        c1 = (0.01 * _DATA_RANGE) ** 2
+        c2 = (0.03 * _DATA_RANGE) ** 2
         s_map = ((2.0 * ux * uy + c1) * (2.0 * vxy + c2)
                  / ((ux ** 2 + uy ** 2 + c1) * (vx + vy + c2)))
         ssim_vals.append(jnp.mean(s_map))
         mse = jnp.sum((gt - pred) ** 2) / hw
-        psnr_vals.append(10.0 * jnp.log10(1.0 / jnp.maximum(mse, 1e-12)))
+        psnr_vals.append(
+            10.0 * jnp.log10(_DATA_RANGE ** 2 / jnp.maximum(mse, 1e-12)))
 
     # outputs are tiny (grid, block) arrays held whole in VMEM; each program
     # writes its row as one vector store (scalar stores to VMEM are illegal)

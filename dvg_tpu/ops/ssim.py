@@ -10,16 +10,18 @@ Replaces the reference's CPU metric loops:
   * utils.py:215-218 `mse_metric`.
 
 Numerics notes:
-  * `ssim` follows skimage's compare_ssim defaults for floats as the
-    reference calls it (gaussian_weights=False): uniform 7x7 window, uniform
-    (not Gaussian) local statistics, data_range = max-min OF EACH gt/pred
-    pair as skimage infers it... skimage actually requires data_range for
-    floats in modern versions; the 0.x versions the reference ran against
-    defaulted to data_range = img.max() - img.min() of the FIRST image. We
-    follow that: data_range = gt.max() - gt.min() per image (documented
-    deviation: computed per-pair on gt only).
+  * `ssim`/`psnr` follow skimage's compare_ssim / compare_psnr defaults for
+    floats as the reference calls them (no data_range argument,
+    gaussian_weights=False): uniform 7x7 window, uniform (not Gaussian)
+    local statistics, and data_range = dtype_range span. skimage ≤0.17
+    (where `skimage.measure.compare_*` existed) resolves a float image's
+    dtype_range to (-1, 1) → **data_range = 2.0**, for BOTH compare_ssim's
+    C1/C2 and compare_psnr's 10·log10(dr²/mse). All skimage-parity paths
+    here use that constant (override via the `data_range` argument;
+    `data_range=None` selects the per-image gt max-min span instead).
   * `finn_ssim` uses 'valid' convolution like scipy fftconvolve(mode='valid')
-    and L=1, K1=0.01, K2=0.03 (utils.py:278-283).
+    and L=1, K1=0.01, K2=0.03 (utils.py:278-283); `finn_psnr` is the
+    explicit 10·log10(1/mse) of utils.py:266-268 — NOT data_range-scaled.
 All functions take single-channel 2-D images and are designed to be composed
 with vmap; `eval_seq` / `finn_eval_seq` wrappers reproduce the reference's
 (B, T) channel-averaged outputs.
@@ -34,6 +36,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+# skimage ≤0.17 compare_ssim/compare_psnr default for float images:
+# dtype_range[float] = (-1, 1) → data_range = 2.0 (see module docstring).
+DATA_RANGE = 2.0
+
 
 # ---------------------------------------------------------------------------
 # windows
@@ -44,9 +50,11 @@ def _uniform_window(size: int = 7) -> jnp.ndarray:
 
 
 def _gaussian_window(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
-    """fspecial_gauss of utils.py:270-273."""
+    """fspecial_gauss of utils.py:270-273: mgrid[-size//2+1 : size//2+1]
+    with Python floor division (-11//2 = -6) gives the symmetric taps
+    -(size//2)..size//2 — a true size×size window."""
     half = size // 2
-    coords = jnp.arange(-half + 1, half + 1, dtype=jnp.float32)
+    coords = jnp.arange(-half, half + 1, dtype=jnp.float32)
     x = coords[None, :]
     y = coords[:, None]
     g = jnp.exp(-((x ** 2 + y ** 2) / (2.0 * sigma ** 2)))
@@ -65,15 +73,18 @@ def _filter2d_valid(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
 # per-image metrics (2-D single channel)
 # ---------------------------------------------------------------------------
 
-def ssim(gt: jnp.ndarray, pred: jnp.ndarray, win_size: int = 7) -> jnp.ndarray:
+def ssim(gt: jnp.ndarray, pred: jnp.ndarray, win_size: int = 7,
+         data_range: float | None = DATA_RANGE) -> jnp.ndarray:
     """skimage compare_ssim semantics (uniform window, sample covariances).
 
     skimage uses unbiased local variance (cov_norm = N/(N-1)) and
-    C1=(0.01*L)^2, C2=(0.03*L)^2 with L = data_range.
+    C1=(0.01*L)^2, C2=(0.03*L)^2 with L = data_range (2.0 by default, the
+    ≤0.17 float dtype_range; None → per-image gt span).
     """
     gt = gt.astype(jnp.float32)
     pred = pred.astype(jnp.float32)
-    data_range = jnp.maximum(jnp.max(gt) - jnp.min(gt), 1e-6)
+    if data_range is None:
+        data_range = jnp.maximum(jnp.max(gt) - jnp.min(gt), 1e-6)
     w = _uniform_window(win_size)
     n = win_size * win_size
     cov_norm = n / (n - 1.0)
@@ -96,12 +107,12 @@ def ssim(gt: jnp.ndarray, pred: jnp.ndarray, win_size: int = 7) -> jnp.ndarray:
     return jnp.mean((a1 * a2) / (b1 * b2))
 
 
-def psnr(gt: jnp.ndarray, pred: jnp.ndarray) -> jnp.ndarray:
-    """skimage compare_psnr with data_range inferred from gt (dtype float →
-    range taken as gt.max()-gt.min() in 0.x; modern uses 1.0 for unit floats;
-    the reference data is in [0,1] so use data_range=1)."""
+def psnr(gt: jnp.ndarray, pred: jnp.ndarray,
+         data_range: float = DATA_RANGE) -> jnp.ndarray:
+    """skimage ≤0.17 compare_psnr without a data_range argument:
+    10·log10(dtype_range²/mse) with dtype_range = 2.0 for floats."""
     mse = jnp.mean((gt.astype(jnp.float32) - pred.astype(jnp.float32)) ** 2)
-    return 10.0 * jnp.log10(1.0 / jnp.maximum(mse, 1e-12))
+    return 10.0 * jnp.log10(data_range ** 2 / jnp.maximum(mse, 1e-12))
 
 
 def finn_ssim(gt: jnp.ndarray, pred: jnp.ndarray) -> jnp.ndarray:
@@ -164,9 +175,7 @@ def ssim_gt_precompute(gt: jnp.ndarray, win_size: int = 7):
     gt = gt.astype(jnp.float32)
     m = _box_filter_sep(jnp.concatenate([gt, gt * gt], axis=-1), win_size)
     c = gt.shape[-1]
-    dr = jnp.maximum(jnp.max(gt, axis=(1, 2)) - jnp.min(gt, axis=(1, 2)),
-                     1e-6)
-    return {"ux": m[..., :c], "uxx": m[..., c:], "dr": dr, "gt": gt}
+    return {"ux": m[..., :c], "uxx": m[..., c:], "gt": gt}
 
 
 def ssim_psnr_batch_pre(pre, pred: jnp.ndarray,
@@ -185,15 +194,15 @@ def ssim_psnr_batch_pre(pre, pred: jnp.ndarray,
     vx = cov_norm * (uxx - ux * ux)
     vy = cov_norm * (uyy - uy * uy)
     vxy = cov_norm * (uxy - ux * uy)
-    dr = pre["dr"][:, None, None, :]
-    c1 = (0.01 * dr) ** 2
-    c2 = (0.03 * dr) ** 2
+    c1 = (0.01 * DATA_RANGE) ** 2
+    c2 = (0.03 * DATA_RANGE) ** 2
     s_map = ((2.0 * ux * uy + c1) * (2.0 * vxy + c2)
              / ((ux ** 2 + uy ** 2 + c1) * (vx + vy + c2)))
     ssim_b = jnp.mean(s_map, axis=(1, 2, 3))
     mse_bc = jnp.mean((gt - pred) ** 2, axis=(1, 2))
-    psnr_b = jnp.mean(10.0 * jnp.log10(1.0 / jnp.maximum(mse_bc, 1e-12)),
-                      axis=-1)
+    psnr_b = jnp.mean(
+        10.0 * jnp.log10(DATA_RANGE ** 2 / jnp.maximum(mse_bc, 1e-12)),
+        axis=-1)
     return ssim_b, psnr_b
 
 
@@ -203,10 +212,7 @@ def _gauss_filter_sep(x: jnp.ndarray, size: int = 11,
     Finn-style window (utils.py:270-273) as two 1-D convs."""
     c = x.shape[-1]
     half = size // 2
-    # arange(-half+1, half+1) has size-1 taps for odd `size` — the
-    # reference's fspecial_gauss quirk (its "11x11" window is 10x10);
-    # reproduced for parity with finn_ssim
-    coords = jnp.arange(-half + 1, half + 1, dtype=jnp.float32)
+    coords = jnp.arange(-half, half + 1, dtype=jnp.float32)
     g1 = jnp.exp(-(coords ** 2) / (2.0 * sigma ** 2))
     g1 = g1 / jnp.sum(g1)
     k = g1.shape[0]
@@ -250,7 +256,7 @@ def ssim_psnr_batch(gt: jnp.ndarray, pred: jnp.ndarray,
     """Channel-averaged SSIM + PSNR for a batch of NHWC frames → ((B,), (B,)).
 
     Same math as `ssim`/`psnr` (skimage compare_ssim semantics: uniform
-    window, unbiased covariances, per-channel data_range from gt), but all
+    window, unbiased covariances, data_range = 2.0), but all
     five windowed moments of the whole batch run as ONE separable depthwise
     conv stack — this is the in-rollout eval path, ~50% of generation time
     when done image-at-a-time."""
@@ -267,17 +273,16 @@ def ssim_psnr_batch(gt: jnp.ndarray, pred: jnp.ndarray,
     vy = cov_norm * (uyy - uy * uy)
     vxy = cov_norm * (uxy - ux * uy)
 
-    dr = (jnp.max(gt, axis=(1, 2)) - jnp.min(gt, axis=(1, 2)))  # (B, C)
-    dr = jnp.maximum(dr, 1e-6)[:, None, None, :]
-    c1 = (0.01 * dr) ** 2
-    c2 = (0.03 * dr) ** 2
+    c1 = (0.01 * DATA_RANGE) ** 2
+    c2 = (0.03 * DATA_RANGE) ** 2
     s_map = ((2.0 * ux * uy + c1) * (2.0 * vxy + c2)
              / ((ux ** 2 + uy ** 2 + c1) * (vx + vy + c2)))
     ssim_b = jnp.mean(s_map, axis=(1, 2, 3))
 
     mse_bc = jnp.mean((gt - pred) ** 2, axis=(1, 2))      # (B, C)
-    psnr_b = jnp.mean(10.0 * jnp.log10(1.0 / jnp.maximum(mse_bc, 1e-12)),
-                      axis=-1)
+    psnr_b = jnp.mean(
+        10.0 * jnp.log10(DATA_RANGE ** 2 / jnp.maximum(mse_bc, 1e-12)),
+        axis=-1)
     return ssim_b, psnr_b
 
 

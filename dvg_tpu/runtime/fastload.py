@@ -27,12 +27,17 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO):
+        cpp = os.path.join(_DIR, "fastload.cpp")
+        stale = (not os.path.exists(_SO)
+                 or (os.path.exists(cpp)
+                     and os.path.getmtime(cpp) > os.path.getmtime(_SO)))
+        if stale:
             try:
-                subprocess.run(["make", "-C", _DIR, "-s"], check=True,
+                subprocess.run(["make", "-C", _DIR, "-s", "-B"], check=True,
                                capture_output=True, timeout=120)
             except Exception:
-                return None
+                if not os.path.exists(_SO):
+                    return None
         try:
             lib = ctypes.CDLL(_SO)
             lib.dvg_decode_batch.restype = ctypes.c_int

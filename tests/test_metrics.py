@@ -1,0 +1,131 @@
+"""Metric parity against independent numpy/scipy re-derivations of the
+reference protocols (skimage isn't installed in this image, so the skimage
+≤0.17 compare_ssim/compare_psnr float semantics — uniform 7x7 window,
+unbiased covariances, data_range = dtype_range span = 2.0 — are re-derived
+here in numpy; the Finn variant follows /root/reference/utils.py:266-301
+verbatim with scipy.signal convolution)."""
+
+import numpy as np
+import scipy.signal
+
+import jax.numpy as jnp
+
+from dvg_tpu.ops import ssim as S
+
+
+def _np_uniform_filter_valid(img, size=7):
+    w = np.ones((size, size), np.float64) / (size * size)
+    return scipy.signal.convolve2d(img, w, mode="valid")
+
+
+def np_compare_ssim(gt, pred, win_size=7):
+    """skimage ≤0.17 structural_similarity, floats, no data_range arg:
+    data_range = dtype_range[float] span = 2.0, uniform window,
+    use_sample_covariance=True."""
+    gt = gt.astype(np.float64)
+    pred = pred.astype(np.float64)
+    dr = 2.0
+    n = win_size * win_size
+    cov_norm = n / (n - 1.0)
+    ux = _np_uniform_filter_valid(gt, win_size)
+    uy = _np_uniform_filter_valid(pred, win_size)
+    uxx = _np_uniform_filter_valid(gt * gt, win_size)
+    uyy = _np_uniform_filter_valid(pred * pred, win_size)
+    uxy = _np_uniform_filter_valid(gt * pred, win_size)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
+    c1 = (0.01 * dr) ** 2
+    c2 = (0.03 * dr) ** 2
+    m = ((2 * ux * uy + c1) * (2 * vxy + c2)
+         / ((ux ** 2 + uy ** 2 + c1) * (vx + vy + c2)))
+    return m.mean()
+
+
+def np_compare_psnr(gt, pred):
+    mse = np.mean((gt.astype(np.float64) - pred.astype(np.float64)) ** 2)
+    return 10.0 * np.log10(2.0 ** 2 / mse)
+
+
+def np_fspecial_gauss(size=11, sigma=1.5):
+    """Verbatim reference fspecial_gauss (utils.py:270-273)."""
+    x, y = np.mgrid[-size // 2 + 1:size // 2 + 1,
+                    -size // 2 + 1:size // 2 + 1]
+    g = np.exp(-((x ** 2 + y ** 2) / (2.0 * sigma ** 2)))
+    return g / g.sum()
+
+
+def np_finn_ssim(img1, img2):
+    """Verbatim reference finn_ssim (utils.py:275-301) minus torch."""
+    img1 = img1.astype(np.float64)
+    img2 = img2.astype(np.float64)
+    window = np_fspecial_gauss(11, 1.5)
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    conv = lambda a: scipy.signal.fftconvolve(a, window, mode="valid")
+    mu1, mu2 = conv(img1), conv(img2)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    s1 = conv(img1 * img1) - mu1_sq
+    s2 = conv(img2 * img2) - mu2_sq
+    s12 = conv(img1 * img2) - mu1_mu2
+    return (((2 * mu1_mu2 + c1) * (2 * s12 + c2))
+            / ((mu1_sq + mu2_sq + c1) * (s1 + s2 + c2))).mean()
+
+
+def _pair(seed=0, h=64, w=64):
+    rng = np.random.RandomState(seed)
+    gt = rng.rand(h, w).astype(np.float32)
+    pred = np.clip(gt + 0.1 * rng.randn(h, w).astype(np.float32), 0, 1)
+    return gt, pred
+
+
+def test_ssim_matches_skimage_017_rederivation():
+    gt, pred = _pair(0)
+    got = float(S.ssim(jnp.asarray(gt), jnp.asarray(pred)))
+    np.testing.assert_allclose(got, np_compare_ssim(gt, pred), rtol=1e-5)
+
+
+def test_psnr_matches_skimage_017_rederivation():
+    gt, pred = _pair(1)
+    got = float(S.psnr(jnp.asarray(gt), jnp.asarray(pred)))
+    np.testing.assert_allclose(got, np_compare_psnr(gt, pred), rtol=1e-6)
+
+
+def test_finn_ssim_matches_reference_rederivation():
+    gt, pred = _pair(2)
+    got = float(S.finn_ssim(jnp.asarray(gt), jnp.asarray(pred)))
+    ref = np_finn_ssim(gt, pred)
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+    # the window really is 11x11 symmetric (the -11//2 = -6 floor division)
+    w = np_fspecial_gauss(11, 1.5)
+    assert w.shape == (11, 11)
+    np.testing.assert_allclose(w, w[::-1, ::-1])
+    # valid map of a 64x64 image is 54x54
+    assert scipy.signal.fftconvolve(gt, w, mode="valid").shape == (54, 54)
+
+
+def test_finn_batch_matches_scalar_finn():
+    gt, pred = _pair(3)
+    g = jnp.asarray(gt)[None, :, :, None]
+    p = jnp.asarray(pred)[None, :, :, None]
+    s_b, q_b = S.finn_ssim_psnr_batch(g, p)
+    np.testing.assert_allclose(float(s_b[0]), np_finn_ssim(gt, pred),
+                               rtol=1e-5)
+    # finn_psnr stays L=1 (utils.py:266-268), NOT data_range-scaled
+    mse = np.mean((gt.astype(np.float64) - pred) ** 2)
+    np.testing.assert_allclose(float(q_b[0]), 10 * np.log10(1 / mse),
+                               rtol=1e-5)
+
+
+def test_batch_matches_scalar_skimage_path():
+    gt, pred = _pair(4)
+    g = jnp.asarray(gt)[None, :, :, None]
+    p = jnp.asarray(pred)[None, :, :, None]
+    s_b, q_b = S.ssim_psnr_batch(g, p)
+    np.testing.assert_allclose(float(s_b[0]), np_compare_ssim(gt, pred),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(q_b[0]), np_compare_psnr(gt, pred),
+                               rtol=1e-6)
+    pre = S.ssim_gt_precompute(g)
+    s_p, q_p = S.ssim_psnr_batch_pre(pre, p)
+    np.testing.assert_allclose(float(s_p[0]), float(s_b[0]), rtol=1e-6)
+    np.testing.assert_allclose(float(q_p[0]), float(q_b[0]), rtol=1e-6)
