@@ -102,7 +102,8 @@ def _context_phase(model: DVGModel, params, stats, x, n_past: int):
 def _free_run(model: DVGModel, params, stats, cache: gp_mod.GPCache,
               hidden, skip, x_in, n_steps: int, fork_mask, keys,
               gp_mean_mode: bool, gt=None, row_ids=None,
-              use_pallas: bool = False, metric: str = "skimage"):
+              use_pallas: bool = False, metric: str = "skimage",
+              refresh_skip: bool = False):
     """Closed-loop rollout for n_steps frames.
 
     fork_mask: (n_steps,) bool — steps that decode a GP sample of gp(h).
@@ -111,16 +112,16 @@ def _free_run(model: DVGModel, params, stats, cache: gp_mod.GPCache,
     unless forked.
     gt: optional (n_steps, B, H, W, C) ground truth — when given, per-frame
     SSIM/PSNR/MSE are computed INSIDE the scan and returned instead of the
-    frames (constant memory regardless of rollout length)."""
+    frames (constant memory regardless of rollout length).
+    refresh_skip (--last_frame_skip, generate_frames.py:116-119): the skip
+    features refresh from the encode of EVERY input frame — including the
+    model's own generated frames — instead of staying frozen at the last
+    context frame."""
     from dvg_tpu.ops import ssim as ssim_ops
 
-    def enc_h(xt):
-        (h, _), _ = model.encode(params, stats, xt, train=False)
-        return h
-
-    def dec(h):
-        y, _ = model.decode(params, stats, h, skip, train=False)
-        return y
+    def enc_full(xt):
+        (h, skips), _ = model.encode(params, stats, xt, train=False)
+        return h, skips
 
     def metrics_of(x_out, gt_pre_t):
         x_out = x_out.astype(jnp.float32)            # metrics always f32
@@ -137,7 +138,8 @@ def _free_run(model: DVGModel, params, stats, cache: gp_mod.GPCache,
     def step(carry, scan_in):
         hidden, x_in = carry
         fork, key = scan_in[0], scan_in[1]
-        h = enc_h(x_in)
+        h, skips_new = enc_full(x_in)
+        sk = skips_new if refresh_skip else skip
         h_pred, hidden = model.predict_latent(params, hidden, h)
         if gp_mean_mode:
             mean, _ = gp_mod.cached_mean_var(cache, model.to_gp_layout(h_pred))
@@ -147,7 +149,7 @@ def _free_run(model: DVGModel, params, stats, cache: gp_mod.GPCache,
                                            row_ids=row_ids)
             sample = model.from_gp_layout(sample)
             latent = jnp.where(fork, sample, h_pred)
-        x_out = dec(latent)
+        x_out, _ = model.decode(params, stats, latent, sk, train=False)
         if gt is not None:
             out = metrics_of(x_out, scan_in[2])
         else:
@@ -185,6 +187,7 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
     n_free = n_eval - n_past
     nsample = nsample if nsample is not None else cfg.nsample
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    refresh = bool(cfg.last_frame_skip)   # generate_frames.py:116-119
 
     def cast_tree(tree):
         if dtype == jnp.float32:
@@ -206,7 +209,8 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
         hidden, skip, x_in = _context_phase(model, params, stats, x, n_past)
         keys = jax.random.split(jax.random.PRNGKey(0), n_free)  # unused
         frames = _free_run(model, params, stats, cache, hidden, skip, x_in,
-                           n_free, no_fork, keys, gp_mean_mode=True)
+                           n_free, no_fork, keys, gp_mean_mode=True,
+                           refresh_skip=refresh)
         return jnp.concatenate([x[:n_past], frames],
                                axis=0).astype(jnp.float32)
 
@@ -222,7 +226,7 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
             keys = jax.random.split(k, n_free)
             return _free_run(model, params, stats, cache, hidden, skip, x_in,
                              n_free, fork_mask, keys, gp_mean_mode=False,
-                             row_ids=rows)
+                             row_ids=rows, refresh_skip=refresh)
 
         frames = jax.vmap(one)(jax.random.split(key, s))  # (S, n_free, B,...)
         ctx = jnp.broadcast_to(x[None, :n_past], (s,) + x[:n_past].shape)
@@ -290,14 +294,11 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
                  - gt_t.reshape(1, b, -1)) ** 2, axis=-1)
             return s_v.reshape(s_n, b), q_v.reshape(s_n, b), m_v
 
-        def enc_h(xt):
-            (h, _), _ = model.encode(params, stats, xt, train=False)
-            return h
-
         def step(carry, scan_in):
             hidden, x_in = carry
             fork, keys_t, pre_t = scan_in
-            h = enc_h(x_in)
+            (h, skips_new), _ = model.encode(params, stats, x_in, train=False)
+            sk = skips_new if refresh else skip
             h_pred, hidden = model.predict_latent(params, hidden, h)
             hs = h.reshape(s_n, b, -1)
 
@@ -308,7 +309,7 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
 
             sample = jax.vmap(samp)(keys_t, hs).reshape(s_n * b, -1)
             latent = jnp.where(fork, sample, h_pred)
-            x_out, _ = model.decode(params, stats, latent, skip, train=False)
+            x_out, _ = model.decode(params, stats, latent, sk, train=False)
             return (hidden, x_out), metrics_of(x_out, pre_t)
 
         (_, _), (s_v, q_v, m_v) = jax.lax.scan(
@@ -340,7 +341,7 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
             keys = jax.random.split(k, n_free)
             return _free_run(model, params, stats, cache, hidden, skip, x_in,
                              n_free, fork_mask, keys, gp_mean_mode=False,
-                             row_ids=rows)
+                             row_ids=rows, refresh_skip=refresh)
 
         frames = jax.vmap(one)(sample_keys)
         k = sample_keys.shape[0]

@@ -157,6 +157,54 @@ def test_decoded_frame_parity_eval_mode():
         np.asarray(y_j).transpose(0, 3, 1, 2), y_t, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("last_frame_skip", [False, True])
+def test_posterior_rollout_parity(last_frame_skip):
+    """The rollout engine's posterior path vs the reference's make_gifs
+    posterior loop (generate_frames.py:111-134), incl. the
+    --last_frame_skip per-step skip refresh (116-119). The GP predictive
+    mean is computed by the native GP cache on both sides (gpytorch is not
+    installed), so this pins the encoder/LSTM/decoder closed-loop wiring
+    and the skip semantics."""
+    from dvg_tpu.generate.rollout import make_rollout_fns
+    from dvg_tpu.models import gp as G
+
+    cfg = CFG.replace(last_frame_skip=last_frame_skip)
+    model = DVGModel(cfg)
+    params, stats = model.init(jax.random.PRNGKey(3))
+    cache = model.gp_cache(params)
+    enc, dec, fp = _torch_modules(params, stats)
+    enc.eval(), dec.eval(), fp.eval()
+    fns = make_rollout_fns(model, cfg, nsample=2)
+    t = cfg.n_eval
+    x = np.asarray(jax.random.uniform(
+        jax.random.PRNGKey(17),
+        (t, cfg.batch_size, cfg.image_width, cfg.image_width, cfg.channels)))
+
+    out_j = np.asarray(fns.posterior(params, stats, cache, jnp.asarray(x)))
+
+    # ---- torch reference loop ----------------------------------------------
+    fp.hidden = fp.init_hidden()
+    gen = [x[0]]
+    x_in, skip = x[0], None
+    with torch.no_grad():
+        for i in range(1, t):
+            h, skips = enc(_to_torch(x_in))
+            if last_frame_skip or i < cfg.n_past:
+                skip = skips
+            if i < cfg.n_past:
+                fp(h)
+                x_in = x[i]
+            else:
+                h_pred = fp(h)
+                mean, _ = G.cached_mean_var(
+                    cache, model.to_gp_layout(jnp.asarray(h_pred.numpy())))
+                x_in = dec([torch.from_numpy(
+                    np.asarray(model.from_gp_layout(mean))), skip])
+                x_in = x_in.numpy().transpose(0, 2, 3, 1)
+            gen.append(np.asarray(x_in))
+    np.testing.assert_allclose(out_j, np.stack(gen), rtol=1e-3, atol=1e-4)
+
+
 def test_reference_checkpoint_import_roundtrip(tmp_path):
     """Synthesize a model.pth with the reference's exact schema (whole
     pickled modules under models.* paths + gpytorch-style state_dicts +

@@ -145,6 +145,38 @@ def test_finn_metric_option(setup):
                                np.asarray(s_ref), rtol=1e-4, atol=1e-5)
 
 
+def test_last_frame_skip_refreshes_skip(setup):
+    """--last_frame_skip (generate_frames.py:116-119): skip features refresh
+    every step → outputs must differ from the frozen-skip rollout, context
+    frames stay identical, and the in-scan metrics path must stay
+    frame-exact with the materializing path under the flag."""
+    cfg, model, params, stats, cache, fns, x = setup
+    cfg_l = cfg.replace(last_frame_skip=True)
+    fns_l = make_rollout_fns(model, cfg_l, nsample=4)
+    key = jax.random.PRNGKey(13)
+
+    post = fns.posterior(params, stats, cache, x)
+    post_l = fns_l.posterior(params, stats, cache, x)
+    np.testing.assert_array_equal(np.asarray(post_l[:cfg.n_past]),
+                                  np.asarray(x[:cfg.n_past]))
+    # the first free frame uses the same skip either way (both refreshed at
+    # the context boundary... flag-on re-encodes x[n_past-1] vs frozen
+    # n_past-2) → outputs must diverge from the very first generated frame
+    assert np.abs(np.asarray(post_l[cfg.n_past])
+                  - np.asarray(post[cfg.n_past])).max() > 1e-5
+
+    gen_l = fns_l.diverse(params, stats, cache, x, key)
+    met_l = fns_l.diverse_metrics(params, stats, cache, x, key)
+    gt = x[cfg.n_past:]
+
+    def frame_ssim(g, p):
+        return jnp.mean(jax.vmap(ssim_ops.ssim, in_axes=(2, 2))(g, p))
+
+    ref = float(frame_ssim(gt[1, 2], gen_l[1, cfg.n_past + 1, 2]))
+    np.testing.assert_allclose(float(met_l["ssim"][1, 1, 2]), ref,
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_gp_trigger_matches_python_reference(setup):
     """The scanned GP-trigger rollout must equal a straightforward Python
     re-implementation of GPtrigger_gen's control flow (warmup window, rolling
