@@ -77,6 +77,75 @@ def main() -> int:
     frames = nsample * (n_eval - n_past) * batch
     fps = frames / dt
 
+    # ---- MFU estimate -------------------------------------------------------
+    # XLA's cost analysis does not multiply loop trip counts, so analyze ONE
+    # rollout step (encode + LSTM + GP sample + decode at the merged S·B
+    # batch) and scale by the free-run length. Peak = TPU v5e bf16 spec
+    # (197 TFLOP/s; f32 is half). Falls back silently if the backend
+    # doesn't expose cost analysis.
+    mfu = flops_total = None
+    try:
+        from dvg_tpu.models import gp as gp_mod
+
+        sb = nsample * batch
+        cdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+        fold = model.fold_inference_params(params, stats)
+        fparams = jax.tree.map(
+            lambda a: a.astype(cdtype) if (hasattr(a, "dtype")
+                                           and a.dtype == jnp.float32) else a,
+            fold)
+
+        def one_step(xin, hidden, k):
+            (h, _), _ = model.encode(fparams, stats, xin, train=False)
+            h_pred, hidden = model.predict_latent(fparams, hidden, h)
+            samp = model.from_gp_layout(gp_mod.cached_rsample(
+                jax.tree.map(lambda a: a.astype(cdtype), cache),
+                model.to_gp_layout(h), k))
+            y, _ = model.decode(fparams, stats,
+                                jnp.where(True, samp, h_pred),
+                                [jnp.zeros(s, cdtype) for s in skip_shapes],
+                                train=False)
+            return y, hidden
+
+        (_, sk0), _ = model.encode(fparams, stats,
+                                   jnp.zeros((sb, width, width, 3), cdtype),
+                                   train=False)
+        skip_shapes = [s.shape for s in sk0]
+        xin0 = jnp.zeros((sb, width, width, 3), cdtype)
+        hid0 = model.lstm_hidden_init(sb, dtype=cdtype)
+        cost = (jax.jit(one_step)
+                .lower(xin0, hid0, jax.random.PRNGKey(0))
+                .compile().cost_analysis())
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        step_flops = float(cost.get("flops", 0.0))
+        if step_flops > 0:
+            flops_total = step_flops * (n_eval - n_past)
+            peak = 197e12 if dtype == "bfloat16" else 98.5e12
+            mfu = flops_total / dt / peak
+    except Exception:
+        pass
+
+    # ---- train step ---------------------------------------------------------
+    # the full 3-pass training step (joint + LSTM-ft + GP-ft) at the
+    # reference's training geometry: batch 50, n_past 5, n_future 10
+    from dvg_tpu.train.step import init_train_state, make_train_step_fn
+
+    tcfg = DVGConfig(dataset="bair", channels=3, image_width=width,
+                     batch_size=50, n_past=5, n_future=10, n_eval=15,
+                     model=model_name, dtype=dtype)
+    tmodel, tstate, topts = init_train_state(tcfg, jax.random.PRNGKey(4))
+    tstep = jax.jit(make_train_step_fn(tmodel, tcfg, topts))
+    xt = jax.random.uniform(jax.random.PRNGKey(5),
+                            (15, 50, width, width, 3), jnp.float32)
+    tstate, _ = tstep(tstate, xt)
+    jax.block_until_ready(tstate.params)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        tstate, tmet = tstep(tstate, xt)
+        jax.block_until_ready(tstate.params)
+    train_step_ms = (time.perf_counter() - t0) / 3 * 1000.0
+
     # ---- reference-execution-model emulation -------------------------------
     # the PyTorch loop (generate_frames.py:143-178) runs ONE sample at a
     # time, ONE frame at a time, copying every frame to host
@@ -129,6 +198,10 @@ def main() -> int:
             "batched_s_per_rollout": round(dt, 4),
             "serial_emulation_fps": round(serial_total_fps, 1),
             "serial_with_per_frame_host_copies_fps": round(serial_fetch_fps, 1),
+            "train_step_ms": round(train_step_ms, 2),
+            "mfu": round(mfu, 4) if mfu is not None else None,
+            "rollout_tflops": (round(flops_total / 1e12, 2)
+                               if flops_total else None),
             "device": str(jax.devices()[0]),
             "dtype": dtype,
         },

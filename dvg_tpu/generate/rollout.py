@@ -196,6 +196,12 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
             lambda a: a.astype(dtype)
             if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, tree)
 
+    def prep(params, stats, cache):
+        """Entry-point preamble: fold eval-mode BN into the conv weights
+        (f32 math), then cast everything to the rollout compute dtype."""
+        params = model.fold_inference_params(params, stats)
+        return cast_tree(params), cast_tree(stats), cast_tree(cache)
+
     # fork schedules over free-run steps i = n_past..n_eval-1
     steps = np.arange(n_past, n_eval)
     fork_15 = jnp.asarray(steps % 15 == 0)           # generate_frames.py:167
@@ -203,8 +209,7 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
     no_fork = jnp.zeros((n_free,), bool)
 
     def posterior(params, stats, cache, x):
-        params, stats, cache = (cast_tree(params), cast_tree(stats),
-                                cast_tree(cache))
+        params, stats, cache = prep(params, stats, cache)
         x = x.astype(dtype)
         hidden, skip, x_in = _context_phase(model, params, stats, x, n_past)
         keys = jax.random.split(jax.random.PRNGKey(0), n_free)  # unused
@@ -215,8 +220,7 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
                                axis=0).astype(jnp.float32)
 
     def _sampled(params, stats, cache, x, key, fork_mask, s, row_ids=None):
-        params, stats, cache = (cast_tree(params), cast_tree(stats),
-                                cast_tree(cache))
+        params, stats, cache = prep(params, stats, cache)
         x = x.astype(dtype)
         hidden, skip, x_in = _context_phase(model, params, stats, x, n_past)
         rows = (jnp.arange(x.shape[1]) if row_ids is None
@@ -248,8 +252,7 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
         folded by global row id (tested frame-exact against `diverse`)."""
         gt = x[n_past:n_eval].astype(jnp.float32)   # metrics vs f32 truth
         metric = getattr(cfg, "eval_metric", "skimage")
-        params, stats, cache = (cast_tree(params), cast_tree(stats),
-                                cast_tree(cache))
+        params, stats, cache = prep(params, stats, cache)
         x = x.astype(dtype)
         hidden_b, skip_b, x_in_b = _context_phase(model, params, stats, x,
                                                   n_past)
@@ -331,8 +334,7 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
 
     def _sampled_with_keys(params, stats, cache, x, sample_keys, fork_mask,
                            row_ids):
-        params, stats, cache = (cast_tree(params), cast_tree(stats),
-                                cast_tree(cache))
+        params, stats, cache = prep(params, stats, cache)
         x = x.astype(dtype)
         hidden, skip, x_in = _context_phase(model, params, stats, x, n_past)
         rows = jnp.asarray(row_ids)
@@ -356,8 +358,7 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
     total = n_eval                                      # 105 by default
 
     def gp_trigger(params, stats, cache, x, key):
-        params, stats, cache = (cast_tree(params), cast_tree(stats),
-                                cast_tree(cache))
+        params, stats, cache = prep(params, stats, cache)
         x = x.astype(dtype)
         b = x.shape[1]
 

@@ -109,6 +109,26 @@ def decoder_stats_init(dim: int, nc: int = 1, image_width: int = 64) -> Dict:
     }
 
 
+def encoder_fold(params, stats):
+    """Inference-time params with eval-mode BN folded into every conv
+    (layers.fold_conv_bn) — same outputs, one fewer elementwise pass per
+    stage."""
+    return {
+        "stages": [L.fold_conv_bn(p, s)
+                   for p, s in zip(params["stages"], stats["stages"])],
+        "head": L.fold_conv_bn(params["head"], stats["head"]),
+    }
+
+
+def decoder_fold(params, stats):
+    return {
+        "head": L.fold_conv_bn(params["head"], stats["head"]),
+        "stages": [L.fold_conv_bn(p, s)
+                   for p, s in zip(params["stages"], stats["stages"])],
+        "final": params["final"],          # no BN on the output head
+    }
+
+
 def decoder_apply(params, stats, vec, skips, train: bool, image_width: int = 64,
                   axis_name=None):
     """(vec: (B, dim), skips from encoder) → (x: (B, H, W, nc), stats)."""

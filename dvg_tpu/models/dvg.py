@@ -112,3 +112,17 @@ class DVGModel:
 
     def gp_cache(self, params) -> gp_mod.GPCache:
         return gp_mod.build_cache(params["gp"], params["likelihood"])
+
+    def fold_inference_params(self, params, stats):
+        """Inference params with every eval-mode BatchNorm folded into its
+        conv (layers.fold_conv_bn) — numerically the conv→BN composition,
+        minus one elementwise pass over every activation map per block.
+        Only valid for train=False applies; the returned pytree has no
+        'bn' entries for encoder/decoder blocks."""
+        return dict(
+            params,
+            encoder=self.backbone.encoder_fold(params["encoder"],
+                                               stats["encoder"]),
+            decoder=self.backbone.decoder_fold(params["decoder"],
+                                               stats["decoder"]),
+        )

@@ -20,6 +20,8 @@ class Backbone(NamedTuple):
     decoder_stats_init: callable
     decoder_apply: callable
     num_skips: int
+    encoder_fold: callable = None     # eval-BN → conv weight folding
+    decoder_fold: callable = None
 
 
 def get_backbone(model: str = "dcgan", image_width: int = 64) -> Backbone:
@@ -58,4 +60,6 @@ def get_backbone(model: str = "dcgan", image_width: int = 64) -> Backbone:
         decoder_stats_init=dec_stats,
         decoder_apply=dec_apply,
         num_skips=num_skips,
+        encoder_fold=mod.encoder_fold,
+        decoder_fold=mod.decoder_fold,
     )

@@ -127,6 +127,24 @@ def decoder_stats_init(dim: int, nc: int = 1, image_width: int = 64) -> Dict:
     }
 
 
+def encoder_fold(params, stats):
+    """Inference-time params with eval-mode BN folded into every conv."""
+    return {
+        "groups": [[L.fold_conv_bn(p, s) for p, s in zip(gp, gs)]
+                   for gp, gs in zip(params["groups"], stats["groups"])],
+        "head": L.fold_conv_bn(params["head"], stats["head"]),
+    }
+
+
+def decoder_fold(params, stats):
+    return {
+        "head": L.fold_conv_bn(params["head"], stats["head"]),
+        "groups": [[L.fold_conv_bn(p, s) for p, s in zip(gp, gs)]
+                   for gp, gs in zip(params["groups"], stats["groups"])],
+        "final": params["final"],          # no BN on the output head
+    }
+
+
 def decoder_apply(params, stats, vec, skips, train: bool, image_width: int = 64,
                   axis_name=None):
     d = vec.reshape(vec.shape[0], 1, 1, vec.shape[-1])

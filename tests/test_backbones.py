@@ -77,3 +77,34 @@ def test_gaussian_encoder():
         p, s, x, train=True, rng=key)
     assert z.shape == mu.shape == logvar.shape == (2, 10)
     assert len(skips) == 4
+
+
+@pytest.mark.parametrize("model,width", [("dcgan", 64), ("vgg", 64),
+                                         ("dcgan", 128)])
+def test_bn_folding_matches_eval_forward(model, width):
+    """fold_conv_bn'd params must reproduce the unfolded eval-mode forward
+    (conv→BN composition) through the full encoder/decoder stack."""
+    import numpy as np
+    bb = get_backbone(model, width)
+    key = jax.random.PRNGKey(0)
+    dim, nc = 12, 3
+    enc_p = bb.encoder_init(key, dim, nc)
+    enc_s = bb.encoder_stats_init(dim, nc)
+    dec_p = bb.decoder_init(jax.random.PRNGKey(1), dim, nc)
+    dec_s = bb.decoder_stats_init(dim, nc)
+    # non-trivial running stats so the fold actually has work to do
+    enc_s = jax.tree.map(lambda a: a + 0.3, enc_s)
+    dec_s = jax.tree.map(lambda a: a + 0.3, dec_s)
+    x = jax.random.uniform(jax.random.PRNGKey(2), (2, width, width, nc))
+
+    (h, skips), _ = bb.encoder_apply(enc_p, enc_s, x, train=False)
+    y, _ = bb.decoder_apply(dec_p, dec_s, h, skips, train=False)
+
+    enc_f = bb.encoder_fold(enc_p, enc_s)
+    dec_f = bb.decoder_fold(dec_p, dec_s)
+    (h_f, skips_f), _ = bb.encoder_apply(enc_f, enc_s, x, train=False)
+    y_f, _ = bb.decoder_apply(dec_f, dec_s, h_f, skips_f, train=False)
+    np.testing.assert_allclose(np.asarray(h_f), np.asarray(h),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y),
+                               rtol=1e-5, atol=1e-6)
