@@ -15,8 +15,9 @@ Replaces the reference's `utils.load_dataset` switch (utils.py:27-81) and
 
 from __future__ import annotations
 
-import queue
 import threading
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional
 
 import numpy as np
@@ -71,10 +72,15 @@ class Loader:
     wraps its DataLoader in an endless generator, train.py:119-127). If
     `sharding` is given, batches are `jax.device_put` with it — one fused
     host→device transfer per step, laid out for the mesh.
-    """
+
+    Two levels of parallelism, both on PERSISTENT pools (no per-batch
+    executor churn): `num_threads` decode workers fan out over the items of
+    a batch, and up to `prefetch` whole batches are assembled concurrently
+    ahead of the consumer — enough to keep a chip fed from a PNG tree
+    (BAIR/KTH geometry) through the native decoder."""
 
     def __init__(self, dataset, batch_size: int, *, shuffle: bool = True,
-                 seed: int = 0, num_threads: int = 4, prefetch: int = 2,
+                 seed: int = 0, num_threads: int = 4, prefetch: int = 4,
                  sharding=None, drop_labels: bool = True,
                  device_assemble: bool = True):
         self.dataset = dataset
@@ -86,9 +92,19 @@ class Loader:
         self.prefetch = max(1, prefetch)
         self.sharding = sharding
         self.drop_labels = drop_labels
-        self._q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        self._stop = threading.Event()
-        self._thread: Optional[threading.Thread] = None
+        self._lock = threading.Lock()
+        self._item_pool: Optional[ThreadPoolExecutor] = None
+        self._batch_pool: Optional[ThreadPoolExecutor] = None
+
+    def _pools(self):
+        with self._lock:
+            if self._item_pool is None:
+                self._item_pool = ThreadPoolExecutor(
+                    self.num_threads, thread_name_prefix="dvg-item")
+            if self._batch_pool is None:
+                self._batch_pool = ThreadPoolExecutor(
+                    min(2, self.prefetch), thread_name_prefix="dvg-batch")
+            return self._item_pool, self._batch_pool
 
     # -- synchronous single batch (used by tests and eval) -------------------
     def next_batch(self, step: int) -> np.ndarray:
@@ -120,9 +136,8 @@ class Loader:
         else:
             idxs = self._indices(step)
             if self.num_threads > 1:
-                from concurrent.futures import ThreadPoolExecutor
-                with ThreadPoolExecutor(self.num_threads) as ex:
-                    items = list(ex.map(lambda i: self.dataset[int(i)][0], idxs))
+                pool, _ = self._pools()
+                items = list(pool.map(lambda i: self.dataset[int(i)][0], idxs))
             else:
                 items = [self.dataset[int(i)][0] for i in idxs]
             batch = normalize_batch(items)
@@ -133,31 +148,21 @@ class Loader:
 
     # -- endless prefetching iterator ----------------------------------------
     def __iter__(self) -> Iterator:
-        self._stop.clear()
-
-        def worker():
-            step = 0
-            while not self._stop.is_set():
-                try:
-                    batch = self._build(step)
-                except Exception as e:  # surface loader errors to consumer
-                    self._q.put(e)
-                    return
-                self._q.put(batch)
-                step += 1
-
-        self._thread = threading.Thread(target=worker, daemon=True)
-        self._thread.start()
+        """Keep `prefetch` batch futures in flight on the persistent batch
+        pool; exceptions surface to the consumer at the failing step."""
+        _, bpool = self._pools()
+        futures = deque(bpool.submit(self._build, s)
+                        for s in range(self.prefetch))
+        step = self.prefetch
         while True:
-            item = self._q.get()
-            if isinstance(item, Exception):
-                raise item
-            yield item
+            fut = futures.popleft()
+            futures.append(bpool.submit(self._build, step))
+            step += 1
+            yield fut.result()
 
     def stop(self):
-        self._stop.set()
-        try:
-            while True:
-                self._q.get_nowait()
-        except queue.Empty:
-            pass
+        with self._lock:
+            for pool in (self._item_pool, self._batch_pool):
+                if pool is not None:
+                    pool.shutdown(wait=False, cancel_futures=True)
+            self._item_pool = self._batch_pool = None

@@ -48,6 +48,72 @@ def test_loader_time_major():
     assert not np.array_equal(b0, loader.next_batch(1))
 
 
+def _make_bair_tree(root, shards=1, trajs=8, frames=15, size=64):
+    from PIL import Image
+    rng = np.random.default_rng(0)
+    for s in range(shards):
+        for v in range(trajs):
+            d = os.path.join(root, "processed_data", "train", f"s{s}", str(v))
+            os.makedirs(d, exist_ok=True)
+            base = np.clip(np.cumsum(rng.normal(size=(size, size, 3)),
+                                     axis=0) * 20 + 128, 0, 255)
+            for t in range(frames):
+                arr = np.clip(base + t * 2, 0, 255).astype(np.uint8)
+                Image.fromarray(arr).save(os.path.join(d, f"{t}.png"))
+
+
+def test_loader_sustains_png_tree_throughput(tmp_path):
+    """The Loader must keep a chip fed from a PNG tree: persistent decode +
+    batch pools (no per-batch executor churn) and `prefetch` batches built
+    ahead. Asserts (a) a conservative absolute floor and (b) that the
+    prefetch pipeline hides batch-build time behind consumer work — when
+    the consumer is slower than the producer, `next()` returns from the
+    ready queue nearly instantly instead of paying a full batch build."""
+    import time
+
+    from dvg_tpu.data.frames import BAIR
+
+    _make_bair_tree(str(tmp_path))
+    ds = BAIR(train=True, data_root=str(tmp_path), seq_len=10)
+    loader = Loader(ds, batch_size=16, seed=0, num_threads=4, prefetch=4)
+    try:
+        it = iter(loader)
+        next(it)                                   # warm pools + caches
+        t0 = time.perf_counter()
+        n = 6
+        for _ in range(n):
+            b = next(it)
+        build_s = (time.perf_counter() - t0) / n   # producer-bound pace
+        fps = 16 * 10 / build_s
+        assert b.shape == (10, 16, 64, 64, 3)
+        assert fps > 400, f"loader too slow: {fps:.0f} frames/s"
+
+        # consumer slower than producer -> batches wait ready in the pipe
+        lat = []
+        for _ in range(4):
+            time.sleep(2 * build_s)                # "training step"
+            t0 = time.perf_counter()
+            next(it)
+            lat.append(time.perf_counter() - t0)
+        assert min(lat) < 0.5 * build_s, (
+            f"prefetch not hiding build time: next() latencies {lat} "
+            f"vs build {build_s:.3f}s")
+    finally:
+        loader.stop()
+
+
+def test_loader_stop_and_restart(tmp_path):
+    """stop() tears the pools down; the Loader remains usable after."""
+    ds = MovingMNIST(train=True, seq_len=4, image_size=64)
+    loader = Loader(ds, batch_size=2, seed=0, device_assemble=False)
+    it = iter(loader)
+    a = next(it)
+    loader.stop()
+    b = loader.next_batch(0)        # rebuilds pools on demand
+    assert a.shape == b.shape
+    loader.stop()
+
+
 def test_normalize_batch():
     items = [np.zeros((4, 8, 8, 1), np.float32) for _ in range(3)]
     out = normalize_batch(items)
