@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_batches", type=int, default=5)
     p.add_argument("--mesh_samples", type=int, default=0,
                    help="shard the sample axis over N devices (0 = off)")
+    p.add_argument("--mesh_data", type=int, default=1,
+                   help="with --mesh_samples: also shard the eval batch "
+                        "rows over N devices (2-D ('sample','data') mesh)")
     # debugging escapes from the restore-then-override contract
     # (generate_frames.py:47-49 hardcodes n_eval=105/n_future=100/batch=50)
     p.add_argument("--override_n_eval", type=int, default=0)
@@ -80,13 +83,14 @@ def main(argv=None) -> int:
     from dvg_tpu.data import Loader, load_dataset
     from dvg_tpu.generate.rollout import best_of_n, make_rollout_fns
     from dvg_tpu.models.dvg import DVGModel
-    from dvg_tpu.parallel import make_mesh
+    from dvg_tpu.parallel import distributed_init, make_mesh
     from dvg_tpu.train import init_train_state, load_checkpoint
     from dvg_tpu.utils import (MetricLogger, add_border, save_gif_with_text,
                                save_image)
 
     # ---- restore-then-override (generate_frames.py:43-49) -------------------
     import dvg_tpu
+    distributed_init()           # multi-host no-op unless configured
     dvg_tpu.enable_compilation_cache()
 
     ckpt = os.path.join(args.model_dir, "model.ckpt")
@@ -122,13 +126,25 @@ def main(argv=None) -> int:
     select_fn = jax.jit(fns.diverse_select)
     trigger = jax.jit(fns.gp_trigger)
     if args.mesh_samples > 1:
-        # sample-parallel eval: each device rolls out nsample/N futures
+        # sample-parallel eval: each device rolls out nsample/N futures;
+        # with --mesh_data the eval batch rows shard too (2-D mesh — the
+        # layout for a pod slice: 'sample' over one ICI axis, 'data' over
+        # the other)
         from dvg_tpu.parallel import shard_diverse_rollout
         assert cfg.nsample % args.mesh_samples == 0
         s_local = cfg.nsample // args.mesh_samples
-        mesh = make_mesh([("sample", args.mesh_samples)])
+        mesh_data = max(1, args.mesh_data)
+        if mesh_data > 1:
+            assert cfg.batch_size % mesh_data == 0
+            mesh = make_mesh([("sample", args.mesh_samples),
+                              ("data", mesh_data)])
+            data_axis = "data"
+        else:
+            mesh = make_mesh([("sample", args.mesh_samples)])
+            data_axis = None
         local_fns = make_rollout_fns(model, cfg, nsample=s_local)
-        metrics_fn = shard_diverse_rollout(local_fns.diverse_metrics, mesh)
+        metrics_fn = shard_diverse_rollout(local_fns.diverse_metrics, mesh,
+                                           data_axis=data_axis)
         base_select = jax.jit(local_fns.diverse_select)
 
         def select_fn(params, stats, cache, x_row, key, ids, rows):

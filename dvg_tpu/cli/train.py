@@ -82,12 +82,13 @@ def main(argv=None) -> int:
     from dvg_tpu.config import DVGConfig
     from dvg_tpu.data import Loader, load_dataset
     from dvg_tpu.generate.rollout import make_rollout_fns
-    from dvg_tpu.parallel import make_mesh, shard_batch
+    from dvg_tpu.parallel import distributed_init, make_mesh, shard_batch
     from dvg_tpu.train import (init_train_state, load_checkpoint,
                                make_train_step, save_checkpoint)
     from dvg_tpu.utils import MetricLogger, StepTimer, save_gif, save_image
 
     import dvg_tpu
+    distributed_init()           # multi-host no-op unless configured
     dvg_tpu.enable_compilation_cache()
 
     cfg = DVGConfig(**{k: v for k, v in vars(args).items()

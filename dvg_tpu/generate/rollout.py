@@ -240,7 +240,7 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
     def diverse(params, stats, cache, x, key):
         return _sampled(params, stats, cache, x, key, fork_15, nsample)
 
-    def diverse_metrics(params, stats, cache, x, key):
+    def diverse_metrics(params, stats, cache, x, key, row_offset=0):
         """All-sample eval with in-scan metrics, no frame materialization.
         Returns {"ssim","psnr","mse"}: (S, n_free, B).
 
@@ -249,7 +249,12 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
         copies of every conv activation, which profiled at ~25% of rollout
         time. PRNG derivation is bit-identical to `diverse`/`diverse_select`:
         per-sample step keys split from `key` by sample index, per-row noise
-        folded by global row id (tested frame-exact against `diverse`)."""
+        folded by global row id (tested frame-exact against `diverse`).
+
+        `row_offset` shifts the per-row noise ids — a batch-sharded caller
+        (2-D ('sample','data') mesh, parallel/mesh.py) passes its shard's
+        global row start so noise stays a function of the GLOBAL row, and
+        `diverse_select` re-rolls scored futures with plain global ids."""
         gt = x[n_past:n_eval].astype(jnp.float32)   # metrics vs f32 truth
         metric = getattr(cfg, "eval_metric", "skimage")
         params, stats, cache = prep(params, stats, cache)
@@ -268,7 +273,7 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
         step_keys = jnp.swapaxes(jax.vmap(
             lambda k: jax.random.split(k, n_free)
         )(jax.random.split(key, s_n)), 0, 1)          # (n_free, S)
-        rows = jnp.arange(b)
+        rows = row_offset + jnp.arange(b)
 
         if metric == "finn" or cfg.use_pallas:
             pre = {"gt": gt}

@@ -10,7 +10,8 @@ NCCL/MPI equivalent.
 """
 
 from dvg_tpu.parallel.mesh import (make_mesh, shard_batch, replicate,
-                                   shard_train_step, shard_diverse_rollout)
+                                   shard_train_step, shard_diverse_rollout,
+                                   distributed_init)
 
 __all__ = ["make_mesh", "shard_batch", "replicate", "shard_train_step",
-           "shard_diverse_rollout"]
+           "shard_diverse_rollout", "distributed_init"]

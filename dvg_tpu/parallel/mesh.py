@@ -72,23 +72,67 @@ def shard_train_step(step_fn, mesh: Mesh, batch_axis: str = "data"):
 
 
 def shard_diverse_rollout(metrics_fn, mesh: Mesh,
-                          sample_axis: str = "sample"):
+                          sample_axis: str = "sample",
+                          data_axis: str = None):
     """Sample-parallel diverse eval: wrap a per-device
     (params, stats, cache, x, key) -> {"ssim","psnr","mse": (S_local, T, B)}
     metrics rollout in a shard_map over `sample_axis`. Each device generates
     its own slice of futures (key folded by its mesh position — ZERO
     cross-chip traffic during the scan); outputs concatenate over samples.
-    Build `metrics_fn` with nsample = S_total / mesh.shape[sample_axis]."""
-    from jax.experimental.shard_map import shard_map
+    Build `metrics_fn` with nsample = S_total / mesh.shape[sample_axis].
+
+    With `data_axis` (a 2-D ('sample','data') mesh) the (T, B, ...) eval
+    batch additionally shards its rows over 'data'; each device rolls out
+    S_local futures of B_local rows. The shard's global row start is passed
+    as the rollout's `row_offset` so per-row noise stays a function of the
+    GLOBAL row id — `diverse_select` re-rolls any scored future from
+    (sample-device, global row) alone, independent of the data layout."""
+    from jax import shard_map
 
     def local(params, stats, cache, x, key):
         key = jax.random.fold_in(key, jax.lax.axis_index(sample_axis))
+        if data_axis is not None:
+            offset = jax.lax.axis_index(data_axis) * x.shape[1]
+            return metrics_fn(params, stats, cache, x, key, offset)
         return metrics_fn(params, stats, cache, x, key)
 
+    x_spec = P(None, data_axis) if data_axis else P()
+    out_elem = (P(sample_axis, None, data_axis) if data_axis
+                else P(sample_axis))
     sharded = shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P()),
-        out_specs=jax.tree_util.tree_map(lambda _: P(sample_axis),
+        in_specs=(P(), P(), P(), x_spec, P()),
+        out_specs=jax.tree_util.tree_map(lambda _: out_elem,
                                          {"ssim": 0, "psnr": 0, "mse": 0}),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(sharded)
+
+
+def distributed_init() -> bool:
+    """Multi-host (DCN) posture: initialize the JAX distributed runtime so
+    `jax.devices()` spans all hosts' chips and the meshes built here lay DP/
+    sample axes over ICI within a slice and DCN across slices (SURVEY.md
+    §5.8). Called by both CLIs before any backend use.
+
+    Activation is env-driven (single-host runs are a no-op):
+      * Cloud TPU multi-host slices: `jax.distributed.initialize()` with no
+        args auto-discovers the coordinator from TPU metadata — triggered
+        here by DVG_MULTIHOST=1;
+      * explicit clusters: set DVG_COORDINATOR=host:port, DVG_NUM_PROCESSES
+        and DVG_PROCESS_ID.
+    """
+    import os
+
+    import jax as _jax
+
+    coord = os.environ.get("DVG_COORDINATOR")
+    if coord:
+        _jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["DVG_NUM_PROCESSES"]),
+            process_id=int(os.environ["DVG_PROCESS_ID"]))
+        return True
+    if os.environ.get("DVG_MULTIHOST") == "1":
+        _jax.distributed.initialize()
+        return True
+    return False

@@ -451,13 +451,13 @@ def make_train_step(model: DVGModel, cfg: DVGConfig, opts: Optimizers,
     replicates it)."""
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         step_fn = make_train_step_fn(model, cfg, opts, axis_name=batch_axis)
         rep_spec, x_spec = P(), P(None, batch_axis)
         sharded = shard_map(step_fn, mesh=mesh,
                             in_specs=(rep_spec, x_spec),
                             out_specs=(rep_spec, rep_spec),
-                            check_rep=False)
+                            check_vma=False)
         return jax.jit(sharded, donate_argnums=(0,))
     return jax.jit(make_train_step_fn(model, cfg, opts), donate_argnums=(0,))

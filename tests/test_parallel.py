@@ -13,6 +13,14 @@ from dvg_tpu.models.dvg import DVGModel
 from dvg_tpu.parallel import make_mesh, shard_diverse_rollout
 
 
+def test_distributed_init_noop(monkeypatch):
+    """Single-host runs must be a silent no-op (no coordinator env)."""
+    from dvg_tpu.parallel import distributed_init
+    monkeypatch.delenv("DVG_COORDINATOR", raising=False)
+    monkeypatch.delenv("DVG_MULTIHOST", raising=False)
+    assert distributed_init() is False
+
+
 def test_make_mesh():
     m = make_mesh([("data", 8)])
     assert m.shape == {"data": 8}
@@ -65,3 +73,43 @@ def test_sample_parallel_metrics_and_select_translation(tiny):
     np.testing.assert_allclose(np.asarray(sel[0, :, 0]),
                                np.asarray(frames_ref[loc, :, row]),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_2d_sample_data_mesh_layout_invariant(tiny):
+    """2-D ('sample','data') mesh: batch rows shard too. Because per-row
+    noise is keyed by the GLOBAL row id (row_offset threading), the result
+    must be bit-for-layout identical to the 1-D sample-only sharding of the
+    same futures — the data-axis layout must not change any number."""
+    cfg, model, params, stats, cache, x = tiny
+    n_samp, s_local, n_data = 2, 2, 2
+    local_fns = make_rollout_fns(model, cfg, nsample=s_local)
+    key = jax.random.PRNGKey(5)
+
+    mesh1 = make_mesh([("sample", n_samp)],
+                      devices=jax.devices()[:n_samp])
+    met1 = shard_diverse_rollout(local_fns.diverse_metrics, mesh1)(
+        params, stats, cache, x, key)
+
+    mesh2 = make_mesh([("sample", n_samp), ("data", n_data)])
+    met2 = shard_diverse_rollout(local_fns.diverse_metrics, mesh2,
+                                 data_axis="data")(
+        params, stats, cache, x, key)
+
+    for k in ("ssim", "psnr", "mse"):
+        assert met2[k].shape == (n_samp * s_local, 2, 2)
+        np.testing.assert_allclose(np.asarray(met2[k]), np.asarray(met1[k]),
+                                   rtol=1e-5, atol=1e-6)
+
+    # and each shard matches a hand-built local call with the row offset
+    b_local = x.shape[1] // n_data
+    for s_dev in range(n_samp):
+        for d_dev in range(n_data):
+            ref = local_fns.diverse_metrics(
+                params, stats, cache,
+                x[:, d_dev * b_local:(d_dev + 1) * b_local],
+                jax.random.fold_in(key, s_dev), d_dev * b_local)
+            np.testing.assert_allclose(
+                np.asarray(met2["ssim"][s_dev * s_local:(s_dev + 1) * s_local,
+                                        :, d_dev * b_local:
+                                        (d_dev + 1) * b_local]),
+                np.asarray(ref["ssim"]), rtol=1e-5, atol=1e-6)

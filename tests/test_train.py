@@ -127,7 +127,7 @@ def test_sharded_loss_and_grads_match_single_device():
     coordinates flips update signs — an optimizer property, not a sharding
     bug."""
     import numpy as np
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
     cfg = tiny_cfg(batch_size=4)
@@ -151,7 +151,7 @@ def test_sharded_loss_and_grads_match_single_device():
     sharded = jax.jit(shard_map(
         loss_and_grad_local, mesh=mesh,
         in_specs=(P(), P(), P(None, "data")), out_specs=(P(), P()),
-        check_rep=False))
+        check_vma=False))
 
     l1, g1 = jax.jit(loss_and_grad_single)(state.params, state.stats, x)
     l2, g2 = sharded(state.params, state.stats, x)
