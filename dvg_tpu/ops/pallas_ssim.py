@@ -39,6 +39,14 @@ except Exception:                                   # pragma: no cover
     _PALLAS_OK = False
 
 
+def _resolve_interpret(interpret) -> bool:
+    """Default: compiled on TPU, interpreter elsewhere — `use_pallas` paths
+    then run (slowly but correctly) on the CPU test backend too."""
+    if interpret is None:
+        return jax.default_backend() != "tpu"
+    return bool(interpret)
+
+
 def _band(out_size: int, in_size: int, win: int) -> np.ndarray:
     m = np.zeros((out_size, in_size), np.float32)
     for i in range(out_size):
@@ -92,7 +100,7 @@ def _kernel(gt_ref, pred_ref, wh_ref, ww_ref, ssim_ref, psnr_ref,
 
 
 def ssim_psnr_images(gt: jnp.ndarray, pred: jnp.ndarray, win: int = 7,
-                     block: int = 8, interpret: bool = False
+                     block: int = 8, interpret: bool = None
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-image SSIM/PSNR for (N, H, W) single-channel batches → ((N,), (N,)).
 
@@ -102,6 +110,7 @@ def ssim_psnr_images(gt: jnp.ndarray, pred: jnp.ndarray, win: int = 7,
     if not _PALLAS_OK:                               # pragma: no cover
         from dvg_tpu.ops.ssim import ssim_psnr_batch
         return ssim_psnr_batch(gt[..., None], pred[..., None], win)
+    interpret = _resolve_interpret(interpret)
     assert n % block == 0, (n, block)
     wh = jnp.asarray(_band(h - win + 1, h, win))
     ww = jnp.asarray(_band(w - win + 1, w, win))
@@ -135,7 +144,7 @@ def ssim_psnr_images(gt: jnp.ndarray, pred: jnp.ndarray, win: int = 7,
 
 
 def ssim_psnr_cyclic(gt: jnp.ndarray, pred: jnp.ndarray, win: int = 7,
-                     interpret: bool = False
+                     interpret: bool = None
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pairwise kernel with a CYCLIC gt: gt (G, H, W) single-channel images,
     pred (N, H, W) with N = S·G laid out so pred row p scores against
@@ -152,6 +161,7 @@ def ssim_psnr_cyclic(gt: jnp.ndarray, pred: jnp.ndarray, win: int = 7,
         reps = n // g
         gt_full = jnp.tile(gt, (reps, 1, 1))
         return ssim_psnr_batch(gt_full[..., None], pred[..., None], win)
+    interpret = _resolve_interpret(interpret)
     wh = jnp.asarray(_band(h - win + 1, h, win))
     ww = jnp.asarray(_band(w - win + 1, w, win))
     gpb = g // block                                  # gt blocks per cycle
@@ -182,7 +192,7 @@ def ssim_psnr_cyclic(gt: jnp.ndarray, pred: jnp.ndarray, win: int = 7,
 
 
 def ssim_psnr_batch_pallas_cyclic(gt: jnp.ndarray, pred: jnp.ndarray,
-                                  win: int = 7, interpret: bool = False
+                                  win: int = 7, interpret: bool = None
                                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Channel-averaged metrics for the diverse layout: gt (B, H, W, C),
     pred (S·B, H, W, C) sample-major (rows s·B + b) → ((S·B,), (S·B,))."""
@@ -195,7 +205,7 @@ def ssim_psnr_batch_pallas_cyclic(gt: jnp.ndarray, pred: jnp.ndarray,
 
 
 def ssim_psnr_batch_pallas(gt: jnp.ndarray, pred: jnp.ndarray, win: int = 7,
-                           interpret: bool = False
+                           interpret: bool = None
                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Channel-averaged drop-in for ops.ssim.ssim_psnr_batch on NHWC input."""
     b, h, w, c = gt.shape
