@@ -140,11 +140,15 @@ def main() -> int:
                             (15, 50, width, width, 3), jnp.float32)
     tstate, _ = tstep(tstate, xt)
     jax.block_until_ready(tstate.params)
+    # sustained (pipelined) step time: enqueue a window of steps and block
+    # once — matches how the CLI drives the chip (per-step sync would bill
+    # the host→device dispatch round-trip to every step)
+    reps_t = 10
     t0 = time.perf_counter()
-    for _ in range(3):
+    for _ in range(reps_t):
         tstate, tmet = tstep(tstate, xt)
-        jax.block_until_ready(tstate.params)
-    train_step_ms = (time.perf_counter() - t0) / 3 * 1000.0
+    jax.block_until_ready(tstate.params)
+    train_step_ms = (time.perf_counter() - t0) / reps_t * 1000.0
 
     # ---- reference-execution-model emulation -------------------------------
     # the PyTorch loop (generate_frames.py:143-178) runs ONE sample at a
