@@ -131,13 +131,17 @@ def main() -> int:
     # reference's training geometry: batch 50, n_past 5, n_future 10
     from dvg_tpu.train.step import init_train_state, make_train_step_fn
 
+    # 128-px training needs rematerialized conv sweeps to fit HBM (same as
+    # the CLI's --remat); batch scales down like the reference's 128 runs
     tcfg = DVGConfig(dataset="bair", channels=3, image_width=width,
-                     batch_size=50, n_past=5, n_future=10, n_eval=15,
-                     model=model_name, dtype=dtype)
+                     batch_size=50 if width == 64 else 8,
+                     n_past=5, n_future=10, n_eval=15,
+                     model=model_name, dtype=dtype, remat=(width > 64))
     tmodel, tstate, topts = init_train_state(tcfg, jax.random.PRNGKey(4))
     tstep = jax.jit(make_train_step_fn(tmodel, tcfg, topts))
     xt = jax.random.uniform(jax.random.PRNGKey(5),
-                            (15, 50, width, width, 3), jnp.float32)
+                            (15, tcfg.batch_size, width, width, 3),
+                            jnp.float32)
     tstate, _ = tstep(tstate, xt)
     jax.block_until_ready(tstate.params)
     # sustained (pipelined) step time: enqueue a window of steps and block
@@ -149,6 +153,17 @@ def main() -> int:
         tstate, tmet = tstep(tstate, xt)
     jax.block_until_ready(tstate.params)
     train_step_ms = (time.perf_counter() - t0) / reps_t * 1000.0
+    train_mfu = None
+    try:
+        tcost = tstep.lower(tstate, xt).compile().cost_analysis()
+        if isinstance(tcost, (list, tuple)):
+            tcost = tcost[0]
+        tflops = float(tcost.get("flops", 0.0))
+        if tflops > 0:
+            peak = 197e12 if dtype == "bfloat16" else 98.5e12
+            train_mfu = tflops / (train_step_ms / 1000.0) / peak
+    except Exception:
+        pass
 
     # ---- reference-execution-model emulation -------------------------------
     # the PyTorch loop (generate_frames.py:143-178) runs ONE sample at a
@@ -203,6 +218,8 @@ def main() -> int:
             "serial_emulation_fps": round(serial_total_fps, 1),
             "serial_with_per_frame_host_copies_fps": round(serial_fetch_fps, 1),
             "train_step_ms": round(train_step_ms, 2),
+            "train_mfu": (round(train_mfu, 4)
+                          if train_mfu is not None else None),
             "mfu": round(mfu, 4) if mfu is not None else None,
             "rollout_tflops": (round(flops_total / 1e12, 2)
                                if flops_total else None),

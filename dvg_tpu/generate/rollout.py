@@ -289,15 +289,19 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
 
         def metrics_of(x_out, pre_t):
             """x_out (S·B, H, W, C) vs gt-side pre (B, ...) → (S, B) each."""
+            x_raw = x_out                  # rollout compute dtype (bf16)
             x_out = x_out.astype(jnp.float32)
             gt_t = pre_t["gt"]
             if metric == "finn":
                 s_v, q_v = ssim_ops.finn_ssim_psnr_batch(tile(gt_t), x_out)
             elif cfg.use_pallas:
                 # cyclic gt indexing: the (B,...) ground truth never tiles
-                # to (S·B,...) in HBM
+                # to (S·B,...) in HBM. The pred goes in at the rollout's
+                # compute dtype — it was produced in that dtype, so the f32
+                # upcast adds no information and the NHWC→images transpose
+                # moves half the bytes; the kernel upcasts per-VMEM-block.
                 from dvg_tpu.ops.pallas_ssim import ssim_psnr_batch_pallas_cyclic
-                s_v, q_v = ssim_psnr_batch_pallas_cyclic(gt_t, x_out)
+                s_v, q_v = ssim_psnr_batch_pallas_cyclic(gt_t, x_raw)
             else:
                 pre_tiled = jax.tree.map(tile, pre_t)
                 s_v, q_v = ssim_ops.ssim_psnr_batch_pre(pre_tiled, x_out)

@@ -47,6 +47,14 @@ def _resolve_interpret(interpret) -> bool:
     return bool(interpret)
 
 
+def _max_block(h: int, w: int) -> int:
+    """Largest image block that keeps the kernel's working set (the 7-map
+    moment stack + its filtered copy, ~23·K·H·W floats live across the
+    schedule) inside the ~16 MB scoped-VMEM limit. Calibrated on v5e:
+    block 16 at 64x64 fits; the same byte budget at other resolutions."""
+    return max(1, (16 * 64 * 64) // (h * w))
+
+
 def _band(out_size: int, in_size: int, win: int) -> np.ndarray:
     m = np.zeros((out_size, in_size), np.float32)
     for i in range(out_size):
@@ -177,8 +185,11 @@ def ssim_psnr_cyclic(gt: jnp.ndarray, pred: jnp.ndarray, win: int = 7,
     g, h, w = gt.shape
     n = pred.shape[0]
     assert n % g == 0, (n, g)
-    # block must divide G so a pred block maps to one contiguous gt block
-    block = next(bk for bk in (16, 10, 8, 6, 5, 4, 3, 2, 1) if g % bk == 0)
+    # block must divide G so a pred block maps to one contiguous gt block,
+    # and must fit the resolution-scaled VMEM budget
+    cap = _max_block(h, w)
+    block = next(bk for bk in (16, 10, 8, 6, 5, 4, 3, 2, 1)
+                 if g % bk == 0 and bk <= cap)
     if not _PALLAS_OK:                               # pragma: no cover
         from dvg_tpu.ops.ssim import ssim_psnr_batch
         reps = n // g
@@ -235,7 +246,7 @@ def ssim_psnr_batch_pallas(gt: jnp.ndarray, pred: jnp.ndarray, win: int = 7,
     gt_i = jnp.transpose(gt, (0, 3, 1, 2)).reshape(b * c, h, w)
     pred_i = jnp.transpose(pred, (0, 3, 1, 2)).reshape(b * c, h, w)
     n = b * c
-    block = 8
+    block = min(8, _max_block(h, w))
     pad = (-n) % block
     if pad:
         gt_i = jnp.concatenate([gt_i, jnp.ones((pad, h, w), gt_i.dtype)])
