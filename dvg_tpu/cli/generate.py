@@ -66,8 +66,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "early-return quirk yields 1/call; we default 10)")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
-    p.add_argument("--use_pallas", action="store_true",
-                   help="fused Pallas SSIM kernel for the in-scan metrics")
+    p.add_argument("--use_pallas", action="store_true", default=None,
+                   help="fused Pallas SSIM kernel for the in-scan metrics "
+                        "(default: auto — ON on TPU, OFF elsewhere)")
+    p.add_argument("--no_pallas", dest="use_pallas", action="store_false",
+                   help="force the XLA metrics path")
+    p.add_argument("--trace_dir", default="",
+                   help="dump a jax.profiler trace of the first eval batch")
     p.add_argument("--finn", action="store_true",
                    help="Finn-variant SSIM/PSNR (utils.py:237-301)")
     return p
@@ -96,11 +101,13 @@ def main(argv=None) -> int:
     ckpt = os.path.join(args.model_dir, "model.ckpt")
     saved_cfg, payload = load_checkpoint(ckpt)
     cfg = saved_cfg.generation_override()
+    use_pallas = (jax.default_backend() == "tpu"
+                  if args.use_pallas is None else args.use_pallas)
     cfg = cfg.replace(log_dir=args.log_dir, dataset=args.dataset,
                       data_root=args.data_root,
                       gp_trigger_flag=args.gp_trigger_flag,
                       nsample=args.nsample, dtype=args.dtype,
-                      use_pallas=args.use_pallas,
+                      use_pallas=use_pallas,
                       eval_metric="finn" if args.finn else "skimage")
     if args.override_n_eval:
         cfg = cfg.replace(n_eval=args.override_n_eval,
@@ -175,11 +182,17 @@ def main(argv=None) -> int:
                 diag["triggers"]).sum())}, kind="trigger")
             continue
 
-        print(f"batch {bi}: posterior rollout...", flush=True)
-        post = posterior(params, stats, cache, x)          # (T, B, ...)
-        print(f"batch {bi}: {cfg.nsample}-sample diverse rollout + "
-              "in-scan SSIM/PSNR...", flush=True)
-        met = metrics_fn(params, stats, cache, x, key)     # (S, T', B) each
+        import contextlib
+        trace_ctx = (jax.profiler.trace(args.trace_dir)
+                     if args.trace_dir and bi == 0
+                     else contextlib.nullcontext())
+        with trace_ctx:
+            print(f"batch {bi}: posterior rollout...", flush=True)
+            post = posterior(params, stats, cache, x)      # (T, B, ...)
+            print(f"batch {bi}: {cfg.nsample}-sample diverse rollout + "
+                  "in-scan SSIM/PSNR...", flush=True)
+            met = metrics_fn(params, stats, cache, x, key)  # (S, T', B) each
+            jax.block_until_ready(met["ssim"])
         ssim = np.asarray(jnp.transpose(met["ssim"], (2, 0, 1)))  # (B, S, T')
         psnr = np.asarray(jnp.transpose(met["psnr"], (2, 0, 1)))
         best_idx, best_ssim = best_of_n(jnp.asarray(ssim))
