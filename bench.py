@@ -153,6 +153,9 @@ def main() -> int:
         tstate, tmet = tstep(tstate, xt)
     jax.block_until_ready(tstate.params)
     train_step_ms = (time.perf_counter() - t0) / reps_t * 1000.0
+    # NB: cost_analysis counts lax.scan bodies once, so the LSTM
+    # recurrence's flops enter for 1 of T-1 steps — a ≤2% undercount here
+    # (the conv sweeps, which dominate, are vmapped and counted fully)
     train_mfu = None
     try:
         tcost = tstep.lower(tstate, xt).compile().cost_analysis()

@@ -132,6 +132,11 @@ def main(argv=None) -> int:
     posterior = jax.jit(fns.posterior)
     select_fn = jax.jit(fns.diverse_select)
     trigger = jax.jit(fns.gp_trigger)
+    if args.mesh_data > 1 and args.mesh_samples <= 1:
+        raise SystemExit(
+            "--mesh_data > 1 extends the sample-parallel mesh to 2-D and "
+            "requires --mesh_samples > 1; it would otherwise be silently "
+            "ignored")
     if args.mesh_samples > 1:
         # sample-parallel eval: each device rolls out nsample/N futures;
         # with --mesh_data the eval batch rows shard too (2-D mesh — the

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import threading
 from collections import deque
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import CancelledError, ThreadPoolExecutor
 from typing import Iterator, Optional
 
 import numpy as np
@@ -102,8 +102,10 @@ class Loader:
                 self._item_pool = ThreadPoolExecutor(
                     self.num_threads, thread_name_prefix="dvg-item")
             if self._batch_pool is None:
+                # one builder per prefetch slot (bounded) so every
+                # in-flight batch can actually assemble concurrently
                 self._batch_pool = ThreadPoolExecutor(
-                    min(2, self.prefetch), thread_name_prefix="dvg-batch")
+                    min(self.prefetch, 4), thread_name_prefix="dvg-batch")
             return self._item_pool, self._batch_pool
 
     # -- synchronous single batch (used by tests and eval) -------------------
@@ -149,16 +151,29 @@ class Loader:
     # -- endless prefetching iterator ----------------------------------------
     def __iter__(self) -> Iterator:
         """Keep `prefetch` batch futures in flight on the persistent batch
-        pool; exceptions surface to the consumer at the failing step."""
+        pool; exceptions surface to the consumer in step order (in-flight
+        successors are cancelled first). `stop()` ends iteration cleanly."""
         _, bpool = self._pools()
         futures = deque(bpool.submit(self._build, s)
                         for s in range(self.prefetch))
         step = self.prefetch
         while True:
             fut = futures.popleft()
-            futures.append(bpool.submit(self._build, step))
+            try:
+                batch = fut.result()       # raises the failing step's error
+            except CancelledError:         # stop() cancelled the pipeline
+                return
+            except BaseException:
+                for f in futures:          # don't leak unretrieved errors
+                    f.cancel()
+                raise
+            try:
+                futures.append(bpool.submit(self._build, step))
+            except RuntimeError:           # pool shut down via stop()
+                yield batch
+                return
             step += 1
-            yield fut.result()
+            yield batch
 
     def stop(self):
         with self._lock:

@@ -62,9 +62,8 @@ def _band(out_size: int, in_size: int, win: int) -> np.ndarray:
     return m
 
 
-def _kernel(gt_ref, pred_ref, wh_ref, ww_ref, ssim_ref, psnr_ref,
+def _kernel(gt_ref, pred_ref, ww_ref, ssim_ref, psnr_ref,
             *, win: int, hw: int, block: int):
-    wh = wh_ref[...]                                 # (H-win+1, H)
     ww = ww_ref[...]                                 # (W-win+1, W)
     n = win * win
     cov_norm = n / (n - 1.0)
@@ -142,8 +141,8 @@ def ssim_psnr_images(gt: jnp.ndarray, pred: jnp.ndarray, win: int = 7,
         from dvg_tpu.ops.ssim import ssim_psnr_batch
         return ssim_psnr_batch(gt[..., None], pred[..., None], win)
     interpret = _resolve_interpret(interpret)
+    block = min(block, _max_block(h, w))   # resolution-scaled VMEM budget
     assert n % block == 0, (n, block)
-    wh = jnp.asarray(_band(h - win + 1, h, win))
     ww = jnp.asarray(_band(w - win + 1, w, win))
     grid = (n // block,)
     kern = functools.partial(_kernel, win=win, hw=h * w, block=block)
@@ -159,8 +158,6 @@ def ssim_psnr_images(gt: jnp.ndarray, pred: jnp.ndarray, win: int = 7,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block, h, w), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((h - win + 1, h), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((w - win + 1, w), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -170,7 +167,7 @@ def ssim_psnr_images(gt: jnp.ndarray, pred: jnp.ndarray, win: int = 7,
                                 memory_space=pltpu.VMEM)),
         out_shape=out_shape,
         interpret=interpret,
-    )(gt, pred, wh, ww)
+    )(gt, pred, ww)
     return ssim.reshape(n), psnr.reshape(n)
 
 
@@ -196,7 +193,6 @@ def ssim_psnr_cyclic(gt: jnp.ndarray, pred: jnp.ndarray, win: int = 7,
         gt_full = jnp.tile(gt, (reps, 1, 1))
         return ssim_psnr_batch(gt_full[..., None], pred[..., None], win)
     interpret = _resolve_interpret(interpret)
-    wh = jnp.asarray(_band(h - win + 1, h, win))
     ww = jnp.asarray(_band(w - win + 1, w, win))
     gpb = g // block                                  # gt blocks per cycle
     kern = functools.partial(_kernel, win=win, hw=h * w, block=block)
@@ -210,8 +206,6 @@ def ssim_psnr_cyclic(gt: jnp.ndarray, pred: jnp.ndarray, win: int = 7,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block, h, w), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((h - win + 1, h), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((w - win + 1, w), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -221,7 +215,7 @@ def ssim_psnr_cyclic(gt: jnp.ndarray, pred: jnp.ndarray, win: int = 7,
                                 memory_space=pltpu.VMEM)),
         out_shape=out_shape,
         interpret=interpret,
-    )(gt, pred, wh, ww)
+    )(gt, pred, ww)
     return ssim.reshape(n), psnr.reshape(n)
 
 

@@ -677,9 +677,15 @@ def import_checkpoint(pth_path: str, out_path: str) -> str:
     stats = {"encoder": enc_s, "decoder": dec_s}
 
     _, state, _ = init_train_state(cfg, jax.random.PRNGKey(0))
+
     # shape-check the transplant against a native init, then adopt it
-    jax.tree.map(lambda a, b: np.broadcast_shapes(np.shape(a), np.shape(b)),
-                 state.params, params)
+    # (exact equality — broadcast compatibility would let a stray singleton
+    # dimension through and fail opaquely inside the jitted rollout)
+    def _check(a, b):
+        if np.shape(a) != np.shape(b):
+            raise ValueError(
+                f"imported tensor shape {np.shape(b)} != native {np.shape(a)}")
+    jax.tree.map(_check, state.params, params)
     state = state._replace(
         params=jax.tree.map(lambda _, v: np.asarray(v, np.float32),
                             state.params, params),
