@@ -102,6 +102,33 @@ def test_loader_sustains_png_tree_throughput(tmp_path):
         loader.stop()
 
 
+def test_loader_surfaces_build_errors():
+    """A failing batch build (e.g. corrupt file) must surface to the
+    consumer as the original exception, not hang or leak silently."""
+
+    class Flaky:
+        def __len__(self):
+            return 100
+
+        def __getitem__(self, i):
+            if i >= 6:
+                raise IOError(f"corrupt item {i}")
+            return np.zeros((3, 8, 8, 1), np.float32), 0
+
+    loader = Loader(Flaky(), batch_size=2, shuffle=False, num_threads=2,
+                    prefetch=2, device_assemble=False)
+    try:
+        it = iter(loader)
+        got = 0
+        with pytest.raises(IOError):
+            for _ in range(10):
+                next(it)
+                got += 1
+        assert got >= 1      # healthy steps delivered before the failure
+    finally:
+        loader.stop()
+
+
 def test_loader_stop_and_restart(tmp_path):
     """stop() tears the pools down; the Loader remains usable after."""
     ds = MovingMNIST(train=True, seq_len=4, image_size=64)
