@@ -190,6 +190,41 @@ def test_metadata_and_kth_loader(tmp_path):
     np.testing.assert_array_equal(ds[5][0], ds[5][0])
 
 
+def test_ucf_pt_metadata_and_train_fallback(tmp_path):
+    """UCF reads the reference's torch-pickled *_meta64x64.pt metadata
+    (ucf.py:31) and mirrors the reference's forced-train fallback when the
+    requested test split has no metadata (ucf.py:13)."""
+    import torch
+
+    from dvg_tpu.data.frames import UCF
+
+    root = str(tmp_path)
+    classes = ("Basketball", "Diving")
+    _make_png_tree(root, classes, vids=1, frames=8)
+    meta = {}
+    for cls in classes:
+        files = [f"image-{t}_16x16.png" for t in range(8)]
+        meta[cls] = [{"vid": "vid0",
+                      "files": [files[:2], files[2:4], files[4:6], files[6:]],
+                      "n": 8}]
+    torch.save(meta, os.path.join(root, "train_meta64x64.pt"))
+
+    class TinyUCF(UCF):
+        classes = ("Basketball", "Diving")
+
+    ds = TinyUCF(train=True, data_root=root, seq_len=2, image_size=64)
+    seq, cls_id = ds[0]
+    assert seq.shape == (2, 64, 64, 3)       # UCF is RGB
+    assert 0 <= cls_id < 2
+    np.testing.assert_array_equal(ds[3][0], ds[3][0])   # deterministic
+
+    # no test metadata on disk -> reference fallback forces the train split
+    ds_test = TinyUCF(train=False, data_root=root, seq_len=2, image_size=64)
+    assert ds_test.train is True and ds_test.meta is not None
+    seq2, _ = ds_test[1]
+    assert seq2.shape == (2, 64, 64, 3)
+
+
 def test_tfrecord_example_roundtrip(tmp_path):
     """Hand-encode a TFRecord of tf.train.Examples; the pure-python reader
     must recover the raw image bytes (convert_bair.py parity without TF)."""
