@@ -84,7 +84,6 @@ def main(argv=None) -> int:
     import jax
     import jax.numpy as jnp
 
-    from dvg_tpu.config import DVGConfig
     from dvg_tpu.data import Loader, load_dataset
     from dvg_tpu.generate.rollout import best_of_n, make_rollout_fns
     from dvg_tpu.models.dvg import DVGModel

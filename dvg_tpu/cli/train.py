@@ -20,7 +20,6 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -128,6 +127,22 @@ def main(argv=None) -> int:
     # prefetch thread, and per-step metrics accumulate ON DEVICE (a float()
     # per step would sync the pipeline ~3x slower)
     batches = iter(train_loader)
+    if args.trace_dir:
+        # profile a few steady-state steps (compile happens outside the
+        # trace); the handful of extra steps slightly advances state.step
+        def _step():
+            nonlocal state
+            x = next(batches)
+            if sharding is None:
+                x = jnp.asarray(x)
+            state, _ = step_fn(state, x)
+        _step()
+        jax.block_until_ready(state.params)
+        with jax.profiler.trace(args.trace_dir):
+            for _ in range(3):
+                _step()
+            jax.block_until_ready(state.params)
+        print(f"profiler trace written to {args.trace_dir}")
     for epoch in range(start_epoch, cfg.niter):
         epoch_mse = jnp.zeros((), jnp.float32)
         timer.start()

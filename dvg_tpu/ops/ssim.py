@@ -29,7 +29,6 @@ with vmap; `eval_seq` / `finn_eval_seq` wrappers reproduce the reference's
 
 from __future__ import annotations
 
-import math
 from typing import Tuple
 
 import jax

@@ -450,7 +450,7 @@ def make_train_step(model: DVGModel, cfg: DVGConfig, opts: Optimizers,
     partitioner is NOT trusted with the 3-pass conv backward; left alone it
     replicates it)."""
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.sharding import PartitionSpec as P
         from jax import shard_map
 
         step_fn = make_train_step_fn(model, cfg, opts, axis_name=batch_axis)
