@@ -75,6 +75,40 @@ def test_sample_parallel_metrics_and_select_translation(tiny):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_shard_train_step_gspmd_matches_single_device(tiny):
+    """`shard_train_step` is the GSPMD alternative to the explicit
+    shard_map in train/step.py: jit with in/out shardings, XLA inserts the
+    gradient all-reduce and partitions the BN batch reductions globally.
+    Its results must match the single-device step exactly."""
+    from dvg_tpu.parallel import shard_train_step
+    from dvg_tpu.train.step import init_train_state, make_train_step_fn
+
+    cfg, model, *_ = tiny
+    cfg = cfg.replace(batch_size=4)
+    _, state0, opts = init_train_state(cfg, jax.random.PRNGKey(0))
+    step_fn = make_train_step_fn(model, cfg, opts)
+    x = jax.random.uniform(
+        jax.random.PRNGKey(1),
+        (cfg.seq_len_train, cfg.batch_size, 64, 64, cfg.channels))
+
+    ref_state, ref_metrics = jax.jit(step_fn)(state0, x)
+
+    mesh = make_mesh([("data", 2)])
+    _, state1, _ = init_train_state(cfg, jax.random.PRNGKey(0))
+    sharded = shard_train_step(step_fn, mesh)
+    got_state, got_metrics = sharded(state1, x)
+
+    for k in ref_metrics:
+        np.testing.assert_allclose(np.asarray(got_metrics[k]),
+                                   np.asarray(ref_metrics[k]),
+                                   rtol=2e-5, atol=1e-6, err_msg=k)
+    ref_leaves = jax.tree.leaves(ref_state.params)
+    got_leaves = jax.tree.leaves(got_state.params)
+    for a, b in zip(ref_leaves, got_leaves):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=1e-6)
+
+
 def test_2d_sample_data_mesh_layout_invariant(tiny):
     """2-D ('sample','data') mesh: batch rows shard too. Because per-row
     noise is keyed by the GLOBAL row id (row_offset threading), the result
