@@ -71,3 +71,29 @@ def test_cli_flag_surface():
 
     g = gen_parser().parse_args(["--model_dir", "/x", "--gp_trigger_flag"])
     assert g.gp_trigger_flag is True and g.nsample == 100
+
+
+def test_step_timer_and_trace_context(tmp_path):
+    """Profiling hooks (SURVEY.md §5.1 — the reference has none): timer
+    warmup/means and the trace_context no-op + real-trace paths."""
+    import os
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from dvg_tpu.utils.profiling import StepTimer, trace_context
+
+    t = StepTimer(warmup=1)
+    for _ in range(3):
+        t.start()
+        _time.sleep(0.01)
+        t.stop(jnp.ones(()))
+    assert len(t.times) == 2          # warmup step excluded
+    assert t.mean >= 0.01 and t.best >= 0.01
+
+    with trace_context(None):         # no-op path
+        pass
+    d = str(tmp_path / "trace")
+    with trace_context(d):
+        jnp.sum(jnp.arange(8)).block_until_ready()
+    assert os.path.isdir(d)           # trace dump written
