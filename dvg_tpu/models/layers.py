@@ -44,6 +44,12 @@ def normal_init(key, shape, std=WEIGHT_STD, mean=0.0, dtype=jnp.float32):
     return mean + std * jax.random.normal(key, shape, dtype)
 
 
+def acc_type(dtype):
+    """Accumulation dtype: at least f32 (bf16 compute accumulates in f32 on
+    the MXU); wider dtypes (f64 parity tests) keep their own precision."""
+    return jnp.promote_types(dtype, jnp.float32)
+
+
 # ---------------------------------------------------------------------------
 # linear
 # ---------------------------------------------------------------------------
@@ -57,7 +63,7 @@ def linear_init(key, in_dim: int, out_dim: int) -> Params:
 
 def linear_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     # accumulate in f32 on the MXU, keep the compute dtype downstream
-    y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32) + p["b"]
+    y = jnp.dot(x, p["w"], preferred_element_type=acc_type(x.dtype)) + p["b"]
     return y.astype(x.dtype)
 
 
@@ -165,10 +171,11 @@ def batchnorm_apply(p: Params, stats: Params, x: jnp.ndarray, train: bool,
     Under shard_map data parallelism, pass `axis_name` to compute the batch
     statistics over the GLOBAL batch (cross-chip pmean) — exact single-chip
     semantics at any device count."""
+    at = acc_type(x.dtype)
     if train:
         # batch statistics always accumulate in f32 (bf16 means/variances
         # drift the running stats); normalization output keeps x's dtype
-        x32 = x.astype(jnp.float32)
+        x32 = x.astype(at)
         axes = tuple(range(x.ndim - 1))
         n = x.size // x.shape[-1]
         if axis_name is not None:
@@ -191,9 +198,9 @@ def batchnorm_apply(p: Params, stats: Params, x: jnp.ndarray, train: bool,
     else:
         mean, var = stats["mean"], stats["var"]
         new_stats = stats
-    inv = lax.rsqrt(var + eps)
-    y = ((x - mean) * (inv * p["scale"].astype(jnp.float32))
-         + p["bias"].astype(jnp.float32)).astype(x.dtype)
+    inv = lax.rsqrt(var.astype(at) + eps)
+    y = ((x - mean) * (inv * p["scale"].astype(at))
+         + p["bias"].astype(at)).astype(x.dtype)
     return y, new_stats
 
 

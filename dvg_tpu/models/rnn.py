@@ -54,8 +54,9 @@ def lstm_cell_init(key, in_dim: int, hidden: int) -> Dict:
 
 def lstm_cell_apply(p, x, state):
     h, c = state
-    gates = (jnp.dot(x, p["w_ih"], preferred_element_type=jnp.float32)
-             + jnp.dot(h, p["w_hh"], preferred_element_type=jnp.float32)
+    at = L.acc_type(x.dtype)
+    gates = (jnp.dot(x, p["w_ih"], preferred_element_type=at)
+             + jnp.dot(h, p["w_hh"], preferred_element_type=at)
              + p["b_ih"] + p["b_hh"]).astype(x.dtype)
     i, f, g, o = jnp.split(gates, 4, axis=-1)
     i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
@@ -76,9 +77,10 @@ def gru_cell_init(key, in_dim: int, hidden: int) -> Dict:
 
 
 def gru_cell_apply(p, x, h):
-    gi = (jnp.dot(x, p["w_ih"], preferred_element_type=jnp.float32)
+    at = L.acc_type(x.dtype)
+    gi = (jnp.dot(x, p["w_ih"], preferred_element_type=at)
           + p["b_ih"]).astype(x.dtype)
-    gh = (jnp.dot(h, p["w_hh"], preferred_element_type=jnp.float32)
+    gh = (jnp.dot(h, p["w_hh"], preferred_element_type=at)
           + p["b_hh"]).astype(x.dtype)
     i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
     h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
@@ -100,9 +102,10 @@ def rnn_cell_init(key, in_dim: int, hidden: int) -> Dict:
 
 
 def rnn_cell_apply(p, x, h):
-    h_new = jnp.tanh(jnp.dot(x, p["w_ih"], preferred_element_type=jnp.float32)
+    at = L.acc_type(x.dtype)
+    h_new = jnp.tanh(jnp.dot(x, p["w_ih"], preferred_element_type=at)
                      + p["b_ih"]
-                     + jnp.dot(h, p["w_hh"], preferred_element_type=jnp.float32)
+                     + jnp.dot(h, p["w_hh"], preferred_element_type=at)
                      + p["b_hh"]).astype(x.dtype)
     return h_new, h_new
 

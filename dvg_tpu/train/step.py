@@ -67,12 +67,15 @@ from dvg_tpu.train.optim import (Optimizers, make_optimizers, merge_params,
 # ---------------------------------------------------------------------------
 
 def _ema_weights(order, n_slots: int, momentum: float):
-    """weights[j] = Σ_{k: order[k]==j} m·(1−m)^(N−1−k);  decay = (1−m)^N."""
+    """weights[j] = Σ_{k: order[k]==j} m·(1−m)^(N−1−k);  decay = (1−m)^N.
+
+    Computed in f64 host-side; jnp.asarray canonicalizes to f32 unless x64
+    is enabled (the f64 update-parity test needs full precision here)."""
     n = len(order)
-    w = np.zeros((n_slots,), np.float32)
+    w = np.zeros((n_slots,), np.float64)
     for k, j in enumerate(order):
         w[j] += momentum * (1.0 - momentum) ** (n - 1 - k)
-    return jnp.asarray(w), np.float32((1.0 - momentum) ** n)
+    return jnp.asarray(w), np.float64((1.0 - momentum) ** n)
 
 
 def _fold_stats(old_stats, per_call_stats, weights, decay,
@@ -154,8 +157,8 @@ def decode_variants(model: DVGModel, params, stats, latents, skips_sel,
             pos[s * tm1 + i] = i * v + s   # time-major call index
     m = L.BN_MOMENTUM
     w_by_call_order = m * (1.0 - m) ** (n - 1 - pos)
-    w = jnp.asarray(w_by_call_order, jnp.float32)
-    decay = np.float32((1.0 - m) ** n)
+    w = jnp.asarray(w_by_call_order)
+    decay = np.float64((1.0 - m) ** n)
     dec_stats = _fold_stats(stats["decoder"], per_call, w, decay)
     return frames, dec_stats
 
@@ -190,6 +193,12 @@ def skip_gather(skips, seq_len: int, n_past: int, last_frame_skip: bool):
 # ---------------------------------------------------------------------------
 # loss passes
 # ---------------------------------------------------------------------------
+
+def _f32up(a):
+    """Cast to at least f32 (loss/GP math precision floor); under the f64
+    parity tests the wider dtype is kept."""
+    return a.astype(jnp.promote_types(a.dtype, jnp.float32))
+
 
 def _gp_pairs(h_all):
     """(T,B,G) → per-step GP task-layout pairs: x (T-1, G, B, 1),
@@ -244,8 +253,8 @@ def joint_loss(params, stats, x, model: DVGModel, cfg: DVGConfig,
     h_pred = lstm_teacher_forced(params["frame_predictor"], h_all[:-1])
     h_target = h_all[1:]
 
-    # GP math (Cholesky/ELBO) always in f32, whatever the conv compute dtype
-    gx, gy = _gp_pairs(h_all.astype(jnp.float32))       # (T-1, G, B, 1/·)
+    # GP math (Cholesky/ELBO) at least f32, whatever the conv compute dtype
+    gx, gy = _gp_pairs(_f32up(h_all))                   # (T-1, G, B, 1/·)
     elbo_t = jax.vmap(lambda xt, yt: gp_mod.elbo(
         params["gp"], params["likelihood"], xt, yt, num_data=b))(gx, gy)
     max_ll_sum = -jnp.sum(elbo_t)
@@ -258,11 +267,11 @@ def joint_loss(params, stats, x, model: DVGModel, cfg: DVGConfig,
     frames, dec_stats = decode_variants(model, params, stats, latents,
                                         skips_sel, axis_name,
                                         remat=cfg.remat)
-    # loss terms in f32 regardless of compute dtype
-    frames = frames.astype(jnp.float32)
-    x_true = x[1:].astype(jnp.float32)
-    h_pred32 = h_pred.astype(jnp.float32)
-    h_target32 = h_target.astype(jnp.float32)
+    # loss terms in (at least) f32 regardless of compute dtype
+    frames = _f32up(frames)
+    x_true = _f32up(x[1:])
+    h_pred32 = _f32up(h_pred)
+    h_target32 = _f32up(h_target)
     mse = jnp.mean((frames[0] - x_true) ** 2) * tm1
     ae_mse = jnp.mean((frames[1] - x_true) ** 2) * tm1
     mse_gp = jnp.mean((frames[2] - x_true) ** 2) * tm1
@@ -301,8 +310,7 @@ def lstm_finetune_loss(fp_params, frozen_params, stats, x, model, cfg,
     h_all = jax.lax.stop_gradient(h_all)
     h_pred = lstm_teacher_forced(params["frame_predictor"], h_all[:-1])
     tm1 = x.shape[0] - 1
-    mse_latent = jnp.mean((h_pred.astype(jnp.float32)
-                           - h_all[1:].astype(jnp.float32)) ** 2) * tm1
+    mse_latent = jnp.mean((_f32up(h_pred) - _f32up(h_all[1:])) ** 2) * tm1
     if axis_name is not None:
         mse_latent = jax.lax.pmean(mse_latent, axis_name)
     new_stats = fold_encoder_stats(stats, enc_per_frame, x.shape[0])
@@ -324,7 +332,7 @@ def gp_finetune_loss(gp_group, frozen_params, stats, x, model, cfg,
     h_all, _, enc_per_frame = encode_frames(model, params, stats, x,
                                             axis_name, remat=cfg.remat)
     h_all = jax.lax.stop_gradient(h_all)
-    gx, gy = _gp_pairs(h_all.astype(jnp.float32))
+    gx, gy = _gp_pairs(_f32up(h_all))
     elbo_t = jax.vmap(lambda xt, yt: gp_mod.elbo(
         params["gp"], params["likelihood"], xt, yt, num_data=b))(gx, gy)
     loss = -jnp.sum(elbo_t)
