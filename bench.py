@@ -27,6 +27,26 @@ import time
 import numpy as np
 
 
+def _peak_flops_per_sec(device, dtype: str):
+    """Per-chip peak for the MFU denominator, by detected device kind.
+    Returns None (→ MFU omitted) on devices not in the table rather than
+    silently dividing by the wrong accelerator's peak."""
+    kind = str(getattr(device, "device_kind", "")).lower()
+    bf16_peaks = [            # ordered: more-specific prefixes first
+        ("tpu v6 lite", 918e12),     # v6e (Trillium)
+        ("tpu v6", 918e12),
+        ("tpu v5 lite", 197e12),     # v5e
+        ("tpu v5p", 459e12),
+        ("tpu v5", 459e12),
+        ("tpu v4", 275e12),
+        ("tpu v3", 123e12),
+    ]
+    for prefix, peak in bf16_peaks:
+        if kind.startswith(prefix):
+            return peak if dtype == "bfloat16" else peak / 2.0
+    return None
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
@@ -77,6 +97,28 @@ def main() -> int:
     frames = nsample * (n_eval - n_past) * batch
     fps = frames / dt
 
+    # ---- the other two serving paths ---------------------------------------
+    # posterior rollout (generate_frames.py:111-134) and the GP-trigger
+    # adaptive path (GPtrigger_gen, 249-300) — a regression in either (e.g.
+    # the Python-unrolled trigger warmup) must be visible in BENCH_r*.json
+    def _timed(fn, *a):
+        out = fn(*a)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = fn(*a)
+            jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / 3
+
+    post_fn = jax.jit(fns.posterior)
+    dt_post = _timed(post_fn, params, stats, cache, x)
+    posterior_fps = (n_eval - n_past) * batch / dt_post
+
+    trig_fn = jax.jit(fns.gp_trigger)
+    dt_trig = _timed(lambda *a: trig_fn(*a)[0], params, stats, cache, x,
+                     jax.random.PRNGKey(6))
+    trigger_fps = n_eval * batch / dt_trig     # free-runs all n_eval frames
+
     # ---- MFU estimate -------------------------------------------------------
     # XLA's cost analysis does not multiply loop trip counts, so analyze ONE
     # rollout step (encode + LSTM + GP sample + decode at the merged S·B
@@ -119,9 +161,9 @@ def main() -> int:
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         step_flops = float(cost.get("flops", 0.0))
-        if step_flops > 0:
+        peak = _peak_flops_per_sec(jax.devices()[0], dtype)
+        if step_flops > 0 and peak:
             flops_total = step_flops * (n_eval - n_past)
-            peak = 197e12 if dtype == "bfloat16" else 98.5e12
             mfu = flops_total / dt / peak
     except Exception:
         pass
@@ -162,8 +204,8 @@ def main() -> int:
         if isinstance(tcost, (list, tuple)):
             tcost = tcost[0]
         tflops = float(tcost.get("flops", 0.0))
-        if tflops > 0:
-            peak = 197e12 if dtype == "bfloat16" else 98.5e12
+        peak = _peak_flops_per_sec(jax.devices()[0], dtype)
+        if tflops > 0 and peak:
             train_mfu = tflops / (train_step_ms / 1000.0) / peak
     except Exception:
         pass
@@ -218,6 +260,10 @@ def main() -> int:
         "vs_baseline": round(fps / serial_total_fps, 2),
         "detail": {
             "batched_s_per_rollout": round(dt, 4),
+            "posterior_ms": round(dt_post * 1000.0, 2),
+            "posterior_fps": round(posterior_fps, 1),
+            "gp_trigger_ms": round(dt_trig * 1000.0, 2),
+            "gp_trigger_fps": round(trigger_fps, 1),
             "serial_emulation_fps": round(serial_total_fps, 1),
             "serial_with_per_frame_host_copies_fps": round(serial_fetch_fps, 1),
             "train_step_ms": round(train_step_ms, 2),

@@ -75,6 +75,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dump a jax.profiler trace of the first eval batch")
     p.add_argument("--finn", action="store_true",
                    help="Finn-variant SSIM/PSNR (utils.py:237-301)")
+    p.add_argument("--full_cov", action="store_true",
+                   help="reference-exact batch-correlated GP sampling at "
+                        "fork steps (generate_frames.py:170 .rsample()) "
+                        "instead of the default per-row marginal draw")
     return p
 
 
@@ -87,7 +91,7 @@ def main(argv=None) -> int:
     from dvg_tpu.data import Loader, load_dataset
     from dvg_tpu.generate.rollout import best_of_n, make_rollout_fns
     from dvg_tpu.models.dvg import DVGModel
-    from dvg_tpu.parallel import distributed_init, make_mesh
+    from dvg_tpu.parallel import distributed_init, is_coordinator, make_mesh
     from dvg_tpu.train import init_train_state, load_checkpoint
     from dvg_tpu.utils import (MetricLogger, add_border, save_gif_with_text,
                                save_image)
@@ -107,7 +111,14 @@ def main(argv=None) -> int:
                       gp_trigger_flag=args.gp_trigger_flag,
                       nsample=args.nsample, dtype=args.dtype,
                       use_pallas=use_pallas,
+                      full_cov_sampling=args.full_cov,
                       eval_metric="finn" if args.finn else "skimage")
+    if args.full_cov and args.mesh_data > 1:
+        raise SystemExit(
+            "--full_cov correlates the GP draw across the WHOLE eval batch "
+            "(generate_frames.py:170); sharding batch rows over devices "
+            "(--mesh_data > 1) would silently correlate only within each "
+            "shard — drop one of the two flags")
     if args.override_n_eval:
         cfg = cfg.replace(n_eval=args.override_n_eval,
                           n_future=args.override_n_eval - cfg.n_past)
@@ -129,8 +140,10 @@ def main(argv=None) -> int:
 
     fns = make_rollout_fns(model, cfg, nsample=cfg.nsample)
     posterior = jax.jit(fns.posterior)
-    select_fn = jax.jit(fns.diverse_select)
+    select_pairs = jax.jit(fns.diverse_select_pairs)
+    select_fullbatch = jax.jit(fns.diverse_rollout_with_keys)
     trigger = jax.jit(fns.gp_trigger)
+    s_local_for_keys = None     # sample-parallel key translation (below)
     if args.mesh_data > 1 and args.mesh_samples <= 1:
         raise SystemExit(
             "--mesh_data > 1 extends the sample-parallel mesh to 2-D and "
@@ -156,40 +169,50 @@ def main(argv=None) -> int:
         local_fns = make_rollout_fns(model, cfg, nsample=s_local)
         metrics_fn = shard_diverse_rollout(local_fns.diverse_metrics, mesh,
                                            data_axis=data_axis)
-        base_select = jax.jit(local_fns.diverse_select)
-
-        def select_fn(params, stats, cache, x_row, key, ids, rows):
-            # global sample id g lived on device g // s_local with local
-            # index g % s_local under key fold_in(key, device) — translate
-            # so re-rolls reproduce the scored futures exactly
-            outs = []
-            for g in np.asarray(ids):
-                dev, loc = divmod(int(g), s_local)
-                outs.append(base_select(
-                    params, stats, cache, x_row,
-                    jax.random.fold_in(key, dev),
-                    jnp.asarray([int(loc)]), rows))
-            return jnp.concatenate(outs, axis=0)
+        s_local_for_keys = s_local
     else:
         metrics_fn = jax.jit(fns.diverse_metrics)
+
+    def pair_base_keys(key, sample_ids):
+        """Per-sample base keys for global sample ids. Unsharded eval drew
+        sample g's step keys from split(key, nsample)[g]; the
+        sample-parallel mesh drew them from
+        split(fold_in(key, device), s_local)[local] with
+        (device, local) = divmod(g, s_local) — reproduce whichever keyed
+        the scored futures so re-rolls are exact."""
+        if s_local_for_keys is None:
+            all_keys = jax.random.split(key, cfg.nsample)
+            return jnp.take(all_keys, jnp.asarray(sample_ids), axis=0)
+        ks = []
+        for g in sample_ids:
+            dev, loc = divmod(int(g), s_local_for_keys)
+            ks.append(jax.random.split(jax.random.fold_in(key, dev),
+                                       s_local_for_keys)[loc])
+        return jnp.stack(ks)
+
+    import contextlib
 
     for bi in range(args.num_batches):
         print(f"batch {bi}: loading...", flush=True)
         x = jnp.asarray(test_loader.next_batch(bi))
         key = jax.random.PRNGKey(cfg.seed * 1000 + bi)
+        # one trace context for whichever path runs — --trace_dir applies to
+        # the gp-trigger rollout too, not just the diverse eval
+        trace_ctx = (jax.profiler.trace(args.trace_dir)
+                     if args.trace_dir and bi == 0
+                     else contextlib.nullcontext())
         if cfg.gp_trigger_flag:
             print(f"batch {bi}: gp-trigger rollout...", flush=True)
-            frames, diag = trigger(params, stats, cache, x, key)
-            _save_trigger_strips(np.asarray(frames), np.asarray(x), bi, cfg,
-                                 save_image)
+            with trace_ctx:
+                frames, diag = trigger(params, stats, cache, x, key)
+                jax.block_until_ready(frames)
+            if is_coordinator():       # multi-host: one writer
+                _save_trigger_strips(np.asarray(frames), np.asarray(x), bi,
+                                     cfg, save_image)
             logger.log(bi, {"triggers": float(np.asarray(
                 diag["triggers"]).sum())}, kind="trigger")
             continue
 
-        import contextlib
-        trace_ctx = (jax.profiler.trace(args.trace_dir)
-                     if args.trace_dir and bi == 0
-                     else contextlib.nullcontext())
         with trace_ctx:
             print(f"batch {bi}: posterior rollout...", flush=True)
             post = posterior(params, stats, cache, x)      # (T, B, ...)
@@ -205,37 +228,57 @@ def main(argv=None) -> int:
                         "psnr_mean": float(psnr.mean())}, kind="eval")
         print(f"batch {bi}: re-rolling selected samples for GIFs...",
               flush=True)
-        _save_sample_gifs(np.asarray(x), np.asarray(post), select_fn,
-                          (params, stats, cache, key), np.asarray(best_idx),
-                          ssim.shape[1], args.gif_rows, bi, cfg, add_border,
-                          save_gif_with_text, jnp)
+        if not is_coordinator():       # multi-host: one writer renders GIFs
+            continue
+        # pair list: per GIF row, [best-by-SSIM, 3 random] samples
+        # (generate_frames.py:185-216 selection). The reference re-reads
+        # its 100x104 host-resident futures; here the chosen futures are
+        # re-rolled exactly in ONE dispatch.
+        rows_n = min(x.shape[1], args.gif_rows)
+        rng = np.random.RandomState(bi)
+        pair_sids, pair_rows = [], []
+        for i in range(rows_n):
+            ids = [int(best_idx[i])] + list(rng.randint(0, ssim.shape[1], 3))
+            pair_sids += ids
+            pair_rows += [i] * 4
+        if cfg.full_cov_sampling:
+            # correlated draws span the whole batch: re-roll each UNIQUE
+            # sample on the full batch once, slice (sample, row) after
+            uniq = sorted(set(pair_sids))
+            out = np.asarray(select_fullbatch(
+                params, stats, cache, x, pair_base_keys(key, uniq),
+                jnp.arange(x.shape[1])))        # (U, n_eval, B, ...)
+            pos = {g: j for j, g in enumerate(uniq)}
+            frames_of = lambda k: out[pos[pair_sids[k]], :, pair_rows[k]]
+        else:
+            outp = np.asarray(select_pairs(
+                params, stats, cache, jnp.asarray(x)[:, np.asarray(pair_rows)],
+                pair_base_keys(key, pair_sids),
+                jnp.asarray(pair_rows)))        # (n_eval, K, H, W, C)
+            frames_of = lambda k: outp[:, k]
+        _save_sample_gifs(np.asarray(x), np.asarray(post), frames_of,
+                          rows_n, bi, cfg, add_border, save_gif_with_text)
     return 0
 
 
-def _save_sample_gifs(x, post, select_fn, model_args, best_idx, s_total,
-                      gif_rows, batch_idx, cfg, add_border,
-                      save_gif_with_text, jnp):
+def _save_sample_gifs(x, post, frames_of, rows_n, batch_idx, cfg, add_border,
+                      save_gif_with_text):
     """GT + posterior + best-SSIM + 3 random samples, bordered and captioned
     (generate_frames.py:185-216). The reference keeps all 100x104 futures on
     host and `return`s inside its loop so only one GIF per call emerges
-    (quirk, SURVEY.md §5.6); here the chosen samples are re-rolled exactly
-    (deterministic per-sample/per-row keys) one batch row at a time."""
-    params, stats, cache, key = model_args
-    rng = np.random.RandomState(batch_idx)
-    for i in range(min(x.shape[1], gif_rows)):
-        ids = [int(best_idx[i])] + list(rng.randint(0, s_total, 3))
-        frames = np.asarray(select_fn(
-            params, stats, cache, jnp.asarray(x[:, i:i + 1]), key,
-            jnp.asarray(ids), jnp.asarray([i])))     # (4, n_eval, 1, ...)
+    (quirk, SURVEY.md §5.6); here `frames_of(k)` indexes the already
+    re-rolled (n_eval, H, W, C) future of pair k = 4·row + column."""
+    for i in range(rows_n):
+        pair = [frames_of(4 * i + j) for j in range(4)]
         gifs, texts = [], []
         for t in range(cfg.n_eval):
             color = "green" if t < cfg.n_past else "red"
             row = [add_border(x[t, i], "green"),
                    add_border(post[t, i], color),
-                   add_border(frames[0, t, 0], color)]
+                   add_border(pair[0][t], color)]
             txt = ["Ground\ntruth", "Approx.\nposterior", "Best SSIM"]
             for k in range(3):
-                row.append(add_border(frames[k + 1, t, 0], color))
+                row.append(add_border(pair[k + 1][t], color))
                 txt.append("Random\nsample %d" % (k + 1))
             gifs.append(row)
             texts.append(txt)

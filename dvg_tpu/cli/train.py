@@ -81,7 +81,8 @@ def main(argv=None) -> int:
     from dvg_tpu.config import DVGConfig
     from dvg_tpu.data import Loader, load_dataset
     from dvg_tpu.generate.rollout import make_rollout_fns
-    from dvg_tpu.parallel import distributed_init, make_mesh, shard_batch
+    from dvg_tpu.parallel import (distributed_init, is_coordinator,
+                                  make_mesh, replicate_to_mesh, shard_batch)
     from dvg_tpu.train import (init_train_state, load_checkpoint,
                                make_train_step, save_checkpoint)
     from dvg_tpu.utils import MetricLogger, StepTimer, save_gif, save_image
@@ -92,7 +93,8 @@ def main(argv=None) -> int:
 
     cfg = DVGConfig(**{k: v for k, v in vars(args).items()
                        if k in DVGConfig.__dataclass_fields__})
-    os.makedirs(cfg.log_dir, exist_ok=True)
+    if is_coordinator():
+        os.makedirs(cfg.log_dir, exist_ok=True)
     logger = MetricLogger(cfg.log_dir)
 
     # ---- model / state -----------------------------------------------------
@@ -112,6 +114,11 @@ def main(argv=None) -> int:
     n_dev = args.mesh or len(jax.devices())
     mesh = make_mesh([("data", n_dev)]) if n_dev > 1 else None
     sharding = shard_batch(mesh) if mesh else None
+    if mesh is not None and jax.process_count() > 1:
+        # multi-host: the same-seed init (or loaded checkpoint) exists on
+        # every process; lift it onto the GLOBAL mesh so the jitted step is
+        # one SPMD program psumming gradients over ICI/DCN (SURVEY.md §5.8)
+        state = replicate_to_mesh(state, mesh)
     train_loader = Loader(train_ds, cfg.batch_size, seed=cfg.seed,
                           num_threads=cfg.data_threads, sharding=sharding)
     test_loader = Loader(test_ds, cfg.batch_size, seed=cfg.seed + 1,
@@ -121,6 +128,19 @@ def main(argv=None) -> int:
     step_fn = make_train_step(model, cfg, opts, mesh=mesh)
     plot_fns = make_rollout_fns(model, cfg, nsample=5)
     timer = StepTimer()
+    if mesh is not None and jax.process_count() > 1:
+        # AOT-compile the step on EVERY process (populating the persistent
+        # compile cache), then rendezvous through the coordination service:
+        # the first real dispatch initializes the cross-process collective
+        # context under a short budget (Gloo: 30 s), which a peer that is
+        # still compiling would blow through
+        x_spec = jax.ShapeDtypeStruct(
+            (cfg.seq_len_train, cfg.batch_size, cfg.image_width,
+             cfg.image_width, cfg.channels), jnp.float32, sharding=sharding)
+        step_fn.lower(state, x_spec).compile()
+        from jax._src import distributed as _dist
+        _dist.global_state.client.wait_at_barrier(
+            "dvg_train_precompile", timeout_in_ms=1_200_000)
 
     # ---- epoch loop (reference train.py:340-392) ----------------------------
     # keep the host ahead of the device: batches come from the Loader's
@@ -143,8 +163,14 @@ def main(argv=None) -> int:
                 _step()
             jax.block_until_ready(state.params)
         print(f"profiler trace written to {args.trace_dir}")
+    # the on-device epoch accumulator must share the metrics' sharding
+    # (replicated on the GLOBAL mesh in a multi-host run) for the eager
+    # per-step adds to compose
+    zero = jnp.zeros((), jnp.float32)
+    if mesh is not None and jax.process_count() > 1:
+        zero = replicate_to_mesh(zero, mesh)
     for epoch in range(start_epoch, cfg.niter):
-        epoch_mse = jnp.zeros((), jnp.float32)
+        epoch_mse = zero
         timer.start()
         for i in range(cfg.epoch_size):
             x = next(batches)
@@ -163,11 +189,14 @@ def main(argv=None) -> int:
             epoch, epoch_mse / cfg.epoch_size,
             epoch * cfg.epoch_size * cfg.batch_size))
 
-        if epoch % args.ckpt_every == 0:
+        if epoch % args.ckpt_every == 0 and is_coordinator():
+            # coordinator-only writes: the plot computes from host-local
+            # copies of the (fully-replicated) state, so non-coordinators
+            # neither join a collective nor race on the files
             _plot(model, cfg, state, plot_fns, test_loader, epoch, jax, jnp,
                   save_gif, save_image)
             save_checkpoint(ckpt_path, cfg, state)
-        if epoch % 10 == 0:
+        if epoch % 10 == 0 and is_coordinator():
             print("log dir: %s" % cfg.log_dir)
     return 0
 
@@ -178,9 +207,14 @@ def _plot(model, cfg, state, plot_fns, test_loader, epoch, jax, jnp,
     5 samples, GP fork at frame 10, best-of-5-by-MSE grid + GIF."""
     import numpy as np
     x = jnp.asarray(test_loader.next_batch(epoch))
-    cache = model.gp_cache(state.params)
+    # host-local copies: state may live replicated on a GLOBAL multi-host
+    # mesh — np.asarray of a fully-replicated array is a local read, and the
+    # rollout below then runs as a plain local computation on this process
+    params = jax.tree.map(np.asarray, state.params)
+    stats = jax.tree.map(np.asarray, state.stats)
+    cache = model.gp_cache(params)
     key = jax.random.PRNGKey(epoch)
-    gen = plot_fns.plot_samples(state.params, state.stats, cache, x, key)
+    gen = plot_fns.plot_samples(params, stats, cache, x, key)
     gen = np.asarray(gen)               # (5, n_eval, B, H, W, C)
     gt = np.asarray(x)[:cfg.n_eval]
     nrow = min(cfg.batch_size, 10)

@@ -67,6 +67,11 @@ class DVGConfig:
     # -- generation (reference generate_frames.py:27, 137) --
     gp_trigger_flag: bool = False
     nsample: int = 100
+    full_cov_sampling: bool = False  # reference-exact batch-correlated GP
+    #   .rsample() at fork steps (generate_frames.py:170) instead of the
+    #   default per-row marginal draw; costs a (g_dim, B, B) Cholesky per
+    #   forked frame. Per-row draws are key-only under this knob, so exact
+    #   re-rolls need the FULL batch (cli/generate handles this).
 
     # -- TPU-native knobs (no reference counterpart) --
     dtype: str = "float32"          # compute dtype for conv stacks

@@ -16,6 +16,7 @@ Replaces the reference's `utils.load_dataset` switch (utils.py:27-81) and
 from __future__ import annotations
 
 import threading
+import weakref
 from collections import deque
 from concurrent.futures import CancelledError, ThreadPoolExecutor
 from typing import Iterator, Optional
@@ -95,6 +96,7 @@ class Loader:
         self._lock = threading.Lock()
         self._item_pool: Optional[ThreadPoolExecutor] = None
         self._batch_pool: Optional[ThreadPoolExecutor] = None
+        self._finalizer = None
 
     def _pools(self):
         with self._lock:
@@ -106,7 +108,22 @@ class Loader:
                 # in-flight batch can actually assemble concurrently
                 self._batch_pool = ThreadPoolExecutor(
                     min(self.prefetch, 4), thread_name_prefix="dvg-batch")
+            if self._finalizer is None:
+                # a consumer that abandons iteration without stop() (both
+                # CLIs do) must not leave non-daemon builder threads running
+                # prefetch builds — possibly calling jax.device_put during
+                # interpreter teardown — so tie pool shutdown to the
+                # Loader's lifetime
+                self._finalizer = weakref.finalize(
+                    self, Loader._shutdown_pools,
+                    self._item_pool, self._batch_pool)
             return self._item_pool, self._batch_pool
+
+    @staticmethod
+    def _shutdown_pools(item_pool, batch_pool):
+        for pool in (item_pool, batch_pool):
+            if pool is not None:
+                pool.shutdown(wait=False, cancel_futures=True)
 
     # -- synchronous single batch (used by tests and eval) -------------------
     def next_batch(self, step: int) -> np.ndarray:
@@ -121,6 +138,19 @@ class Loader:
         return (start + np.arange(self.batch_size)) % n
 
     def _build(self, step: int) -> np.ndarray:
+        # multi-process (multi-host) run with a device sharding: each
+        # process builds ONLY its own rows of the global batch and
+        # contributes its local shards — a host-global device_put would
+        # throw on the non-addressable devices. The global batch-row →
+        # process assignment follows the mesh's process-major device order
+        # (make_mesh uses jax.devices(), which lists process 0's devices
+        # first), so process p owns the contiguous row block
+        # [p·B/P, (p+1)·B/P). All processes draw the SAME global index list
+        # (rng seeded by (seed, step)) and slice it.
+        if self.sharding is not None:
+            import jax
+            if jax.process_count() > 1:
+                return self._build_process_local(step)
         # fastest path: synthetic datasets that assemble frames ON DEVICE —
         # the host only computes trajectories (KBs), keeping the feed thread
         # off the critical path entirely
@@ -148,6 +178,35 @@ class Loader:
             batch = jax.device_put(batch, self.sharding)
         return batch
 
+    def _build_process_local(self, step: int):
+        """Per-process slice of the global batch, assembled into a global
+        jax.Array (SURVEY.md §5.8 / jax.make_array_from_process_local_data)."""
+        import jax
+        pc, pid = jax.process_count(), jax.process_index()
+        if self.batch_size % pc:
+            raise ValueError(
+                f"global batch {self.batch_size} must divide evenly over "
+                f"{pc} processes")
+        per = self.batch_size // pc
+        if hasattr(self.dataset, "sample_batch"):
+            # synthetic batch streams are seeded by (seed, start, SIZE) —
+            # a half-batch at a shifted start is NOT a slice of the global
+            # batch. Generate the full deterministic global batch (host-side
+            # trajectory math, a few ms) and slice this process's rows, so
+            # every device sees exactly what the single-process run feeds.
+            full = np.asarray(self.dataset.sample_batch(
+                self.batch_size, start_index=step * self.batch_size))
+            local = full[:, pid * per:(pid + 1) * per]
+        else:
+            idxs = self._indices(step)[pid * per:(pid + 1) * per]
+            if self.num_threads > 1:
+                pool, _ = self._pools()
+                items = list(pool.map(lambda i: self.dataset[int(i)][0], idxs))
+            else:
+                items = [self.dataset[int(i)][0] for i in idxs]
+            local = normalize_batch(items)
+        return jax.make_array_from_process_local_data(self.sharding, local)
+
     # -- endless prefetching iterator ----------------------------------------
     def __iter__(self) -> Iterator:
         """Keep `prefetch` batch futures in flight on the persistent batch
@@ -166,6 +225,8 @@ class Loader:
             except BaseException:
                 for f in futures:          # don't leak unretrieved errors
                     f.cancel()
+                    if f.done() and not f.cancelled():
+                        f.exception()      # swallow sibling errors quietly
                 raise
             try:
                 futures.append(bpool.submit(self._build, step))
@@ -177,7 +238,8 @@ class Loader:
 
     def stop(self):
         with self._lock:
-            for pool in (self._item_pool, self._batch_pool):
-                if pool is not None:
-                    pool.shutdown(wait=False, cancel_futures=True)
+            if self._finalizer is not None:
+                self._finalizer.detach()
+                self._finalizer = None
+            Loader._shutdown_pools(self._item_pool, self._batch_pool)
             self._item_pool = self._batch_pool = None

@@ -66,6 +66,13 @@ class RolloutFns(NamedTuple):
     diverse_select: Callable  # (..., x, key, ids (K,)) -> (K, n_eval, B, ...)
     #   exact re-rollout of chosen samples: per-sample PRNG keys derive from
     #   `key` by sample index, so re-rolling ids reproduces those futures
+    diverse_select_pairs: Callable  # (..., x_sel (T,K,...), base_keys (K,),
+    #   row_ids (K,)) -> (n_eval, K, H, W, C): ONE rollout where batch
+    #   position k replays (sample base_keys[k], global row row_ids[k]) —
+    #   the whole GIF re-roll in a single dispatch
+    diverse_rollout_with_keys: Callable  # (..., x, base_keys (K,),
+    #   row_ids (B,)) -> (K, n_eval, B, ...): full-batch re-roll of chosen
+    #   sample keys (the --full_cov-exact selection path)
     plot_samples: Callable   # train-time 5-sample, fork@10 (train.py:281)
     gp_trigger: Callable     # (params, stats, cache, x, key) -> frames, diag
 
@@ -103,7 +110,8 @@ def _free_run(model: DVGModel, params, stats, cache: gp_mod.GPCache,
               hidden, skip, x_in, n_steps: int, fork_mask, keys,
               gp_mean_mode: bool, gt=None, row_ids=None,
               use_pallas: bool = False, metric: str = "skimage",
-              refresh_skip: bool = False):
+              refresh_skip: bool = False, full_cov: bool = False,
+              pair_keys: bool = False):
     """Closed-loop rollout for n_steps frames.
 
     fork_mask: (n_steps,) bool — steps that decode a GP sample of gp(h).
@@ -116,7 +124,12 @@ def _free_run(model: DVGModel, params, stats, cache: gp_mod.GPCache,
     refresh_skip (--last_frame_skip, generate_frames.py:116-119): the skip
     features refresh from the encode of EVERY input frame — including the
     model's own generated frames — instead of staying frozen at the last
-    context frame."""
+    context frame.
+    full_cov (--full_cov): forked steps draw the reference-exact
+    batch-correlated sample (generate_frames.py:170) — key-only, so
+    `row_ids` replay applies only to the default marginal mode.
+    pair_keys: `keys` is (n_steps, K) — every batch position k is its own
+    (sample, row) pair with its own step keys (batched GIF re-roll)."""
     from dvg_tpu.ops import ssim as ssim_ops
 
     def enc_full(xt):
@@ -145,8 +158,15 @@ def _free_run(model: DVGModel, params, stats, cache: gp_mod.GPCache,
             mean, _ = gp_mod.cached_mean_var(cache, model.to_gp_layout(h_pred))
             latent = model.from_gp_layout(mean)
         else:
-            sample = gp_mod.cached_rsample(cache, model.to_gp_layout(h), key,
-                                           row_ids=row_ids)
+            if pair_keys:
+                sample = gp_mod.cached_rsample_pairs(
+                    cache, model.to_gp_layout(h), key, row_ids)
+            elif full_cov:
+                sample = gp_mod.cached_rsample_fullcov(
+                    cache, model.to_gp_layout(h), key)
+            else:
+                sample = gp_mod.cached_rsample(cache, model.to_gp_layout(h),
+                                               key, row_ids=row_ids)
             sample = model.from_gp_layout(sample)
             latent = jnp.where(fork, sample, h_pred)
         x_out, _ = model.decode(params, stats, latent, sk, train=False)
@@ -188,6 +208,7 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
     nsample = nsample if nsample is not None else cfg.nsample
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     refresh = bool(cfg.last_frame_skip)   # generate_frames.py:116-119
+    fc = bool(getattr(cfg, "full_cov_sampling", False))
 
     def cast_tree(tree):
         if dtype == jnp.float32:
@@ -230,7 +251,8 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
             keys = jax.random.split(k, n_free)
             return _free_run(model, params, stats, cache, hidden, skip, x_in,
                              n_free, fork_mask, keys, gp_mean_mode=False,
-                             row_ids=rows, refresh_skip=refresh)
+                             row_ids=rows, refresh_skip=refresh,
+                             full_cov=fc)
 
         frames = jax.vmap(one)(jax.random.split(key, s))  # (S, n_free, B,...)
         ctx = jnp.broadcast_to(x[None, :n_past], (s,) + x[:n_past].shape)
@@ -309,7 +331,15 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
             # mean((x-g)²) = (Σx² - 2·x·g + Σg²)/F — the cross term is one
             # MXU dot_general batched over rows; profiled ~4 ms/step cheaper
             # than the broadcast-subtract form (which also dragged a full
-            # f32 gt copy into the decoder's output fusion)
+            # f32 gt copy into the decoder's output fusion).
+            # PRECISION TRADEOFF: the expanded form subtracts large
+            # near-equal f32 sums, so for a WELL-TRAINED model (MSE ≪ E[x²],
+            # i.e. ≲1e-3 at these frame norms) the relative error grows to
+            # ~1e-3–1e-2 of the MSE — fine for best-of-N ranking (selection
+            # uses SSIM) and logging, but use the subtract form if MSE ever
+            # becomes a reported headline metric at convergence scale.
+            # tests/test_metrics.py::test_einsum_mse_low_mse_regime bounds
+            # the drift at trained-model MSE scale.
             f = x_out.shape[1] * x_out.shape[2] * x_out.shape[3]
             xs = x_out.reshape(s_n, b, f)
             gs = gt_t.reshape(b, f)
@@ -328,8 +358,12 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
             hs = h.reshape(s_n, b, -1)
 
             def samp(k_s, h_s):
-                y = gp_mod.cached_rsample(cache, model.to_gp_layout(h_s),
-                                          k_s, row_ids=rows)
+                if fc:     # reference-exact correlated draw, key-only
+                    y = gp_mod.cached_rsample_fullcov(
+                        cache, model.to_gp_layout(h_s), k_s)
+                else:
+                    y = gp_mod.cached_rsample(cache, model.to_gp_layout(h_s),
+                                              k_s, row_ids=rows)
                 return model.from_gp_layout(y)
 
             sample = jax.vmap(samp)(keys_t, hs).reshape(s_n * b, -1)
@@ -365,12 +399,46 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
             keys = jax.random.split(k, n_free)
             return _free_run(model, params, stats, cache, hidden, skip, x_in,
                              n_free, fork_mask, keys, gp_mean_mode=False,
-                             row_ids=rows, refresh_skip=refresh)
+                             row_ids=rows, refresh_skip=refresh,
+                             full_cov=fc)
 
         frames = jax.vmap(one)(sample_keys)
         k = sample_keys.shape[0]
         ctx = jnp.broadcast_to(x[None, :n_past], (k,) + x[:n_past].shape)
         return jnp.concatenate([ctx, frames], axis=1).astype(jnp.float32)
+
+    def diverse_rollout_with_keys(params, stats, cache, x, base_keys,
+                                  row_ids):
+        """Full-batch re-roll of explicitly-keyed samples — with
+        cfg.full_cov_sampling this reproduces the correlated draws the
+        metrics pass scored (the correlated eps spans the whole batch, so
+        the re-roll must too)."""
+        return _sampled_with_keys(params, stats, cache, x, base_keys,
+                                  fork_15, row_ids)
+
+    def diverse_select_pairs(params, stats, cache, x_sel, base_keys,
+                             row_ids):
+        """ONE K-batch rollout replaying K (sample, row) pairs.
+
+        x_sel: (T, K, H, W, C) where column k is the clip of global batch
+        row row_ids[k]; base_keys[k] is that pair's sample key (split from
+        the eval key by sample index — or the sharded translation thereof).
+        Marginal sampling only: eval-mode encode/decode and the per-row
+        noise derivation are batch-position independent, so column k
+        reproduces exactly what (sample, row) saw in diverse_metrics.
+        Replaces the per-pair host loop of dispatches (K jit calls → 1)."""
+        params, stats, cache = prep(params, stats, cache)
+        x_sel = x_sel.astype(dtype)
+        hidden, skip, x_in = _context_phase(model, params, stats, x_sel,
+                                            n_past)
+        step_keys = jnp.swapaxes(jax.vmap(
+            lambda k: jax.random.split(k, n_free))(base_keys), 0, 1)
+        frames = _free_run(model, params, stats, cache, hidden, skip, x_in,
+                           n_free, fork_15, step_keys, gp_mean_mode=False,
+                           row_ids=jnp.asarray(row_ids),
+                           refresh_skip=refresh, pair_keys=True)
+        return jnp.concatenate([x_sel[:n_past], frames],
+                               axis=0).astype(jnp.float32)
 
     def plot_samples(params, stats, cache, x, key):
         return _sampled(params, stats, cache, x, key, fork_10, 5)
@@ -435,6 +503,8 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
     return RolloutFns(posterior=posterior, diverse=diverse,
                       diverse_metrics=diverse_metrics,
                       diverse_select=diverse_select,
+                      diverse_select_pairs=diverse_select_pairs,
+                      diverse_rollout_with_keys=diverse_rollout_with_keys,
                       plot_samples=plot_samples, gp_trigger=gp_trigger)
 
 

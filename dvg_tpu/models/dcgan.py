@@ -129,6 +129,88 @@ def decoder_fold(params, stats):
     }
 
 
+def decoder_apply_grouped(params, stats, vecs, skips_unique, group_idx,
+                          train: bool, image_width: int = 64, axis_name=None):
+    """Decode N latent variants whose skip tensors come from a small set of
+    UNIQUE skip frames — the train step's joint pass decodes V=3 variants ×
+    (T-1) steps but (with last_frame_skip off) all free-run steps share the
+    frame n_past-2 skip (reference train.py:217-220), so only ~n_past-1
+    distinct skip frames exist.
+
+    vecs: (N, B, dim); skips_unique: per-stage (U, B, h, w, c);
+    group_idx: (N,) int32 — call n reads skips_unique[...][group_idx[n]].
+
+    Semantically identical to vmapping `decoder_apply` over N with gathered
+    skips (per-call train-mode BN over each call's own B batch), but each
+    stage's transposed conv splits by linearity over the channel concat:
+        convT(cat(d, s), W) = convT(d, W[:, :, :c_d]) + convT(s, W[:, :, c_d:])
+    so the skip half runs once per UNIQUE frame (U·B batch) instead of per
+    call (N·B) — and the V-times-tiled skip broadcast + concat copies the
+    generic path pays disappear entirely. The two partials are summed in
+    acc_type (f32): exact in f32 mode; in bf16 each half carries one output
+    rounding, the same order of noise the fused conv's single output
+    rounding already injects into bf16 training.
+    Returns (frames (N, B, H, W, nc), per-call stats with leading N axis)."""
+    final_act = jnp.tanh if image_width == 64 else jax.nn.sigmoid
+    n, b = vecs.shape[0], vecs.shape[1]
+    cdt = vecs.dtype
+    num_u = skips_unique[0].shape[0]
+    # 0/1 call→unique-skip matrix: broadcasting the per-unique conv outputs
+    # to calls as a matmul keeps the BACKWARD a dense MXU reduction; an
+    # index gather here transposes to a scatter-add, which the TPU
+    # serializes (profiled 16+ ms/step of while-loop + copies)
+    onehot = jax.nn.one_hot(jnp.asarray(group_idx), num_u, dtype=cdt)
+
+    def per_call_bn(p, s, y, act):
+        # y: (N, B, h, w, c); each call normalizes over its own B batch
+        # (torch train-mode BN per decoder call)
+        def one(yc):
+            out, ns = L.batchnorm_apply(p["bn"], s["bn"], yc.astype(cdt),
+                                        train, axis_name=axis_name)
+            return act(out), {"bn": ns}
+        return jax.vmap(one)(y)
+
+    def split_convT(p, d, sk_u, stride, torch_padding):
+        c_d = d.shape[-1]
+        w = p["w"] if "w" in p else p["conv"]["w"]
+        bias = p["b"] if "b" in p else p["conv"]["b"]
+        w_d, w_s = w[:, :, :c_d], w[:, :, c_d:]
+        d_out = L.conv_transpose2d_raw(
+            w_d, d.reshape((n * b,) + d.shape[2:]), stride, torch_padding)
+        d_out = d_out.reshape((n, b) + d_out.shape[1:])
+        u = sk_u.shape[0]
+        s_out = L.conv_transpose2d_raw(
+            w_s, sk_u.reshape((u * b,) + sk_u.shape[2:]), stride,
+            torch_padding)
+        # (u·b, h, w, c) → per-call contributions via the 0/1 matmul over
+        # the LEADING axis only (leading-dim split reshape is free; a
+        # flatten-to-(u, F) form forces tiled-layout copies). The forward
+        # picks exactly one row per call (exact in any dtype).
+        s_out = s_out.reshape((u, b) + s_out.shape[1:])
+        s_b = jnp.tensordot(onehot, s_out, axes=1)
+        return d_out + s_b + bias.astype(d_out.dtype)
+
+    # head: no skip; flat (N·B) conv then per-call BN
+    d0 = vecs.reshape(n * b, 1, 1, vecs.shape[-1])
+    y = L.conv_transpose2d_raw(params["head"]["conv"]["w"], d0, 1, 0)
+    y = (y + params["head"]["conv"]["b"].astype(y.dtype)
+         ).reshape((n, b) + y.shape[1:])
+    d, head_stats = per_call_bn(params["head"], stats["head"], y,
+                                L.leaky_relu)
+
+    new_stage_stats = []
+    for p, s, sk_u in zip(params["stages"], stats["stages"],
+                          reversed(skips_unique)):
+        y = split_convT(p, d, sk_u, stride=2, torch_padding=1)
+        d, ns = per_call_bn(p, s, y, L.leaky_relu)
+        new_stage_stats.append(ns)
+
+    y = split_convT(params["final"], d, skips_unique[0], stride=2,
+                    torch_padding=1)
+    out = final_act(y.astype(cdt))
+    return out, {"head": head_stats, "stages": new_stage_stats}
+
+
 def decoder_apply(params, stats, vec, skips, train: bool, image_width: int = 64,
                   axis_name=None):
     """(vec: (B, dim), skips from encoder) → (x: (B, H, W, nc), stats)."""

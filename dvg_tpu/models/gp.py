@@ -294,3 +294,49 @@ def cached_rsample(cache: GPCache, x, key, row_ids=None) -> jnp.ndarray:
 def cached_variance(cache: GPCache, x) -> jnp.ndarray:
     mean, var = cached_mean_var(cache, x)
     return var + cache.noise[:, None]
+
+
+def cached_rsample_pairs(cache: GPCache, x, keys_row, row_ids) -> jnp.ndarray:
+    """Marginal rsample where every batch position carries its OWN step key.
+
+    x: (D, K, 1); keys_row: (K,) PRNG keys (position k's step key);
+    row_ids: (K,) global row ids. Position k draws
+    eps = normal(fold_in(keys_row[k], row_ids[k]), (D,)) — exactly the draw
+    that position's (sample, row) pair saw inside the full diverse rollout
+    (cached_rsample with a shared step key + row folding), so a single
+    K-batch re-rollout reproduces K different (sample, row) futures at
+    once."""
+    mean, var = cached_mean_var(cache, x)
+    row_keys = jax.vmap(jax.random.fold_in)(keys_row, jnp.asarray(row_ids))
+    eps_kd = jax.vmap(
+        lambda k: jax.random.normal(k, (mean.shape[0],), mean.dtype)
+    )(row_keys)                                   # (K, D)
+    return mean + jnp.sqrt(var + cache.noise[:, None]) * eps_kd.T
+
+
+def cached_rsample_fullcov(cache: GPCache, x, key) -> jnp.ndarray:
+    """Reference-exact batch-correlated sample via the cache.
+
+    Reproduces gpytorch's `.rsample()` on a batch of inputs
+    (/root/reference/generate_frames.py:170): one draw from the FULL
+    (D, B, B) posterior covariance plus noise, correlated across batch
+    rows. Numerically equal to `rsample(params, lik, x, key, full_cov=True)`
+    for the cache built from the same params (tested in tests/test_gp.py).
+    Costs a (D, B, B) Cholesky per call — the `--full_cov` parity knob, not
+    the default hot path (batch rows are independent videos; see rsample)."""
+    diff = x[..., :, 0][..., :, None] - cache.z[..., :, 0][..., None, :]
+    kxz = cache.outputscale[:, None, None] * jnp.exp(
+        -0.5 * (diff / cache.lengthscale[:, None, None]) ** 2)   # (D,B,M)
+    a = jnp.einsum("dbm,dmn->dbn", kxz, cache.w)
+    mean = cache.mean_const[:, None] + jnp.einsum("dbm,dm->db", kxz, cache.v1)
+    a_ls = jnp.einsum("dbm,dmn->dbn", kxz, cache.v2)
+    xdiff = x[..., :, 0][..., :, None] - x[..., :, 0][..., None, :]
+    kxx = cache.outputscale[:, None, None] * jnp.exp(
+        -0.5 * (xdiff / cache.lengthscale[:, None, None]) ** 2)  # (D,B,B)
+    cov = (kxx - jnp.einsum("dbm,dcm->dbc", a, a)
+           + jnp.einsum("dbm,dcm->dbc", a_ls, a_ls))
+    b = x.shape[1]
+    cov = cov + (cache.noise[:, None, None] + JITTER) * jnp.eye(b)
+    l = jnp.linalg.cholesky(cov)
+    eps = jax.random.normal(key, mean.shape, mean.dtype)
+    return mean + jnp.einsum("dbc,dc->db", l, eps)

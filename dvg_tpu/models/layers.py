@@ -121,6 +121,25 @@ def conv_transpose2d_init(key, in_ch: int, out_ch: int, k: int) -> Params:
     }
 
 
+def conv_transpose2d_raw(w: jnp.ndarray, x: jnp.ndarray, stride: int,
+                         torch_padding: int) -> jnp.ndarray:
+    """Bias-free torch-style ConvTranspose2d. Used by the grouped decoder to
+    split one transposed conv over a channel-concat input into its d-/skip-
+    half contributions by linearity:
+    convT(cat(d, s), W) = convT(d, W[:, :, :c_d]) + convT(s, W[:, :, c_d:]).
+    Output stays in x's dtype (a widened preferred_element_type would make
+    the conv transpose rule mix dtypes under AD in bf16); the caller sums
+    the partials in acc_type — in bf16 each half rounds once, the same
+    order of rounding the fused conv applies to its output."""
+    pad = w.shape[0] - 1 - torch_padding
+    return lax.conv_transpose(
+        x, w,
+        strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
 def conv_transpose2d_apply(p: Params, x: jnp.ndarray, stride: int,
                            torch_padding: int) -> jnp.ndarray:
     """Torch-style ConvTranspose2d(k, stride, padding).

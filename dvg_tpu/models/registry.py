@@ -22,6 +22,8 @@ class Backbone(NamedTuple):
     num_skips: int
     encoder_fold: callable = None     # eval-BN → conv weight folding
     decoder_fold: callable = None
+    decoder_apply_grouped: callable = None   # shared-skip variant decode
+    #   (train-step joint pass; see dcgan.decoder_apply_grouped)
 
 
 def get_backbone(model: str = "dcgan", image_width: int = 64) -> Backbone:
@@ -52,6 +54,14 @@ def get_backbone(model: str = "dcgan", image_width: int = 64) -> Backbone:
                                  image_width=image_width,
                                  axis_name=axis_name)
 
+    dec_grouped = None
+    if hasattr(mod, "decoder_apply_grouped"):
+        def dec_grouped(params, stats, vecs, skips_unique, group_idx, train,
+                        axis_name=None):
+            return mod.decoder_apply_grouped(
+                params, stats, vecs, skips_unique, group_idx, train,
+                image_width=image_width, axis_name=axis_name)
+
     return Backbone(
         encoder_init=enc_init,
         encoder_stats_init=enc_stats,
@@ -62,4 +72,5 @@ def get_backbone(model: str = "dcgan", image_width: int = 64) -> Backbone:
         num_skips=num_skips,
         encoder_fold=mod.encoder_fold,
         decoder_fold=mod.decoder_fold,
+        decoder_apply_grouped=dec_grouped,
     )

@@ -47,12 +47,39 @@ def _resolve_interpret(interpret) -> bool:
     return bool(interpret)
 
 
+def _vmem_budget_floats() -> int:
+    """Float budget for the kernel's live working set (the 7-map moment
+    stack + its filtered copy, ~23·K·H·W floats across the schedule).
+
+    16·64·64 was calibrated on v5e (16 MB scoped VMEM: block 16 at 64x64
+    fits with headroom). Rather than hardcoding that for every chip
+    generation, probe the device's actual VMEM capacity when the runtime
+    exposes it and scale the calibrated budget proportionally; fall back to
+    the v5e number otherwise. Overridable via DVG_PALLAS_VMEM_FLOATS for a
+    chip where the probe lies."""
+    import os
+    env = os.environ.get("DVG_PALLAS_VMEM_FLOATS")
+    if env:
+        return int(env)
+    base = 16 * 64 * 64          # calibrated against 16 MB (v5e)
+    try:
+        d = jax.devices()[0]
+        stats = d.memory_stats() or {}
+        # some PJRT TPU runtimes expose the on-chip pool; absent → default
+        vmem_bytes = stats.get("vmem_bytes_limit")
+        if vmem_bytes and 4 * 2**20 <= vmem_bytes <= 2**30:
+            return int(base * (vmem_bytes / (16 * 2**20)))
+    except Exception:
+        pass
+    return base
+
+
 def _max_block(h: int, w: int) -> int:
-    """Largest image block that keeps the kernel's working set (the 7-map
-    moment stack + its filtered copy, ~23·K·H·W floats live across the
-    schedule) inside the ~16 MB scoped-VMEM limit. Calibrated on v5e:
-    block 16 at 64x64 fits; the same byte budget at other resolutions."""
-    return max(1, (16 * 64 * 64) // (h * w))
+    """Largest image block whose working set fits the scoped-VMEM budget
+    (see _vmem_budget_floats). Too big → Mosaic fails to allocate at
+    COMPILE time (loud, not silent corruption); too small only costs grid
+    steps."""
+    return max(1, _vmem_budget_floats() // (h * w))
 
 
 def _band(out_size: int, in_size: int, win: int) -> np.ndarray:

@@ -11,7 +11,9 @@ NCCL/MPI equivalent.
 
 from dvg_tpu.parallel.mesh import (make_mesh, shard_batch, replicate,
                                    shard_train_step, shard_diverse_rollout,
-                                   distributed_init)
+                                   distributed_init, is_coordinator,
+                                   replicate_to_mesh)
 
 __all__ = ["make_mesh", "shard_batch", "replicate", "shard_train_step",
-           "shard_diverse_rollout", "distributed_init"]
+           "shard_diverse_rollout", "distributed_init", "is_coordinator",
+           "replicate_to_mesh"]

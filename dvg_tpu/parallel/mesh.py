@@ -108,6 +108,32 @@ def shard_diverse_rollout(metrics_fn, mesh: Mesh,
     return jax.jit(sharded)
 
 
+def is_coordinator() -> bool:
+    """True on the process that owns the shared write paths (checkpoints,
+    metrics.jsonl, plots/GIFs). Single-process runs are always the
+    coordinator."""
+    return jax.process_index() == 0
+
+
+def replicate_to_mesh(tree, mesh: Mesh):
+    """Replicate a pytree of host/per-device values onto every device of the
+    mesh — including non-addressable ones in a multi-process run (every
+    process holds the full value, e.g. a deterministic same-seed init, so
+    each contributes its local shards)."""
+    sharding = NamedSharding(mesh, P())
+
+    def put(a):
+        a = np.asarray(a)
+        if jax.process_count() == 1:
+            return jax.device_put(a, sharding)
+        return jax.make_array_from_process_local_data(sharding, a)
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+_DISTRIBUTED_UP = False
+
+
 def distributed_init() -> bool:
     """Multi-host (DCN) posture: initialize the JAX distributed runtime so
     `jax.devices()` spans all hosts' chips and the meshes built here lay DP/
@@ -125,14 +151,20 @@ def distributed_init() -> bool:
 
     import jax as _jax
 
+    global _DISTRIBUTED_UP
+    if _DISTRIBUTED_UP:           # idempotent: a launcher may init before
+        return True               # handing control to the CLI (which also
+                                  # calls this)
     coord = os.environ.get("DVG_COORDINATOR")
     if coord:
         _jax.distributed.initialize(
             coordinator_address=coord,
             num_processes=int(os.environ["DVG_NUM_PROCESSES"]),
             process_id=int(os.environ["DVG_PROCESS_ID"]))
+        _DISTRIBUTED_UP = True
         return True
     if os.environ.get("DVG_MULTIHOST") == "1":
         _jax.distributed.initialize()
+        _DISTRIBUTED_UP = True
         return True
     return False

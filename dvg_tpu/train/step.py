@@ -79,14 +79,23 @@ def _ema_weights(order, n_slots: int, momentum: float):
 
 
 def _fold_stats(old_stats, per_call_stats, weights, decay,
-                momentum: float = L.BN_MOMENTUM):
-    """Fold per-call BN stats (leading call axis) into the running stats."""
+                momentum: float = L.BN_MOMENTUM, base_stats=None):
+    """Fold per-call BN stats (leading call axis) into the running stats.
 
-    def leaf(o, pc):
-        batch = (pc - (1.0 - momentum) * o) / momentum
+    `per_call_stats` come out of batchnorm_apply already EMA'd against the
+    stats that were live AT ENCODE TIME — recovering the raw batch statistic
+    needs that same base. When a pass folds stats that were computed against
+    an EARLIER running-stat snapshot (the shared finetune encode feeding
+    pass 3 after pass 2 already folded), pass that snapshot as
+    `base_stats`; default: old_stats IS the encode-time base."""
+    if base_stats is None:
+        base_stats = old_stats
+
+    def leaf(o, pc, ba):
+        batch = (pc - (1.0 - momentum) * ba) / momentum
         return decay * o + jnp.tensordot(weights, batch, axes=1)
 
-    return jax.tree.map(leaf, old_stats, per_call_stats)
+    return jax.tree.map(leaf, old_stats, per_call_stats, base_stats)
 
 
 # ---------------------------------------------------------------------------
@@ -113,39 +122,69 @@ def encode_frames(model: DVGModel, params, stats, x, axis_name=None,
     return h, skips, per_frame_stats
 
 
-def fold_encoder_stats(stats, per_frame_stats, seq_len: int, repeats: int = 2):
+def fold_encoder_stats(stats, per_frame_stats, seq_len: int, repeats: int = 2,
+                       base_stats=None):
     """Joint/finetune passes encode frames in order
     [x0, x1, x1, x2, x2, ..., x_{T-1}] (train.py:214-215: x[i-1] then x[i]
-    per step) — interior frames appear `repeats` times."""
+    per step) — interior frames appear `repeats` times.
+
+    `base_stats`: the stats snapshot the per-frame stats were computed
+    against, when it differs from `stats` (see _fold_stats)."""
     # encode sequence per step i=1..T-1: x[i-1], x[i] → [0,1,1,2,2,...,T-2,T-2,T-1]
     order = [0]
     for i in range(1, seq_len):
         order.extend([i] * (repeats if i < seq_len - 1 else 1))
     w, decay = _ema_weights(order, seq_len, L.BN_MOMENTUM)
-    return {"encoder": _fold_stats(stats["encoder"], per_frame_stats, w, decay),
+    base = None if base_stats is None else base_stats["encoder"]
+    return {"encoder": _fold_stats(stats["encoder"], per_frame_stats, w,
+                                   decay, base_stats=base),
             "decoder": stats["decoder"]}
 
 
-def decode_variants(model: DVGModel, params, stats, latents, skips_sel,
-                    axis_name=None, remat: bool = False):
-    """Decode a (V, T-1, B, G) stack of latent variants against gathered
-    skips (each (T-1, B, h, w, c)) in one vmapped pass with per-call BN.
+def decode_variants(model: DVGModel, params, stats, latents, skips,
+                    skip_idx, axis_name=None, remat: bool = False):
+    """Decode a (V, T-1, B, G) stack of latent variants; step i of variant v
+    uses the skip maps of frame skip_idx[i] (each skip (T, B, h, w, c)).
+    Per-call train-mode BN throughout.
+
+    When the backbone provides a grouped decoder (dcgan), the V·(T-1) calls
+    run through decoder_apply_grouped: the skip half of every transposed
+    conv computes once per UNIQUE skip frame (with last_frame_skip off
+    that's n_past-1 frames, not V·(T-1) calls) — profiled ~13 ms/step off
+    the 70 ms dcgan-64 train step. The generic path tiles + concats.
 
     Returns (frames (V, T-1, B, H, W, C), folded decoder stats in the
     reference call order: per step i the V variants decode back-to-back
     (train.py:227-232))."""
     v, tm1 = latents.shape[0], latents.shape[1]
     lat_flat = latents.reshape((v * tm1,) + latents.shape[2:])
-    skips_flat = [jnp.broadcast_to(s[None], (v,) + s.shape)
-                  .reshape((v * tm1,) + s.shape[1:]) for s in skips_sel]
+    skip_idx = np.asarray(skip_idx)
 
-    def dec(h, *sk):
-        return model.decode(params, stats, h, list(sk), train=True,
-                            axis_name=axis_name)
+    grouped = model.backbone.decoder_apply_grouped
+    if grouped is not None:
+        uniq, inv = np.unique(skip_idx, return_inverse=True)
+        skips_u = [s[jnp.asarray(uniq)] for s in skips]
+        gi = jnp.asarray(np.tile(inv, v).astype(np.int32))
 
-    if remat:
-        dec = jax.checkpoint(dec)
-    frames, per_call = jax.vmap(dec)(lat_flat, *skips_flat)
+        def dec_grouped(lat_flat, *sk_u):
+            return grouped(params["decoder"], stats["decoder"], lat_flat,
+                           list(sk_u), gi, train=True, axis_name=axis_name)
+
+        if remat:
+            dec_grouped = jax.checkpoint(dec_grouped)
+        frames, per_call = dec_grouped(lat_flat, *skips_u)
+    else:
+        skips_sel = [s[jnp.asarray(skip_idx)] for s in skips]
+        skips_flat = [jnp.broadcast_to(s[None], (v,) + s.shape)
+                      .reshape((v * tm1,) + s.shape[1:]) for s in skips_sel]
+
+        def dec(h, *sk):
+            return model.decode(params, stats, h, list(sk), train=True,
+                                axis_name=axis_name)
+
+        if remat:
+            dec = jax.checkpoint(dec)
+        frames, per_call = jax.vmap(dec)(lat_flat, *skips_flat)
     frames = frames.reshape((v, tm1) + frames.shape[1:])
 
     # reference call order: k = (i-1)*V + variant → our flat axis is
@@ -179,14 +218,18 @@ def lstm_teacher_forced(params, h_in):
     return preds
 
 
-def skip_gather(skips, seq_len: int, n_past: int, last_frame_skip: bool):
-    """Per-step skip source for steps i = 1..T-1: frame i-1 while i < n_past,
-    frozen at frame n_past-2 afterwards (train.py:217-220)."""
+def skip_index(seq_len: int, n_past: int, last_frame_skip: bool):
+    """Per-step skip SOURCE FRAME for steps i = 1..T-1: frame i-1 while
+    i < n_past, frozen at frame n_past-2 afterwards (train.py:217-220).
+    Returns a static numpy (T-1,) index array."""
     if last_frame_skip:
-        idx = np.arange(0, seq_len - 1)
-    else:
-        idx = np.minimum(np.arange(0, seq_len - 1), max(n_past - 2, 0))
-    idx = jnp.asarray(idx)
+        return np.arange(0, seq_len - 1)
+    return np.minimum(np.arange(0, seq_len - 1), max(n_past - 2, 0))
+
+
+def skip_gather(skips, seq_len: int, n_past: int, last_frame_skip: bool):
+    """Gathered per-step skips (see skip_index)."""
+    idx = jnp.asarray(skip_index(seq_len, n_past, last_frame_skip))
     return [s[idx] for s in skips]
 
 
@@ -262,10 +305,10 @@ def joint_loss(params, stats, x, model: DVGModel, cfg: DVGConfig,
         lambda xt: gp_mod.posterior(params["gp"], xt).mean)(gx)  # (T-1,G,B)
     gp_mean = jnp.swapaxes(gp_mean_t, 1, 2).astype(h_pred.dtype)
 
-    skips_sel = skip_gather(skips, seq_len, cfg.n_past, cfg.last_frame_skip)
+    idx = skip_index(seq_len, cfg.n_past, cfg.last_frame_skip)
     latents = jnp.stack([h_pred, h_target, gp_mean])    # (3, T-1, B, G)
     frames, dec_stats = decode_variants(model, params, stats, latents,
-                                        skips_sel, axis_name,
+                                        skips, idx, axis_name,
                                         remat=cfg.remat)
     # loss terms in (at least) f32 regardless of compute dtype
     frames = _f32up(frames)
@@ -298,48 +341,55 @@ def joint_loss(params, stats, x, model: DVGModel, cfg: DVGConfig,
     return loss, aux
 
 
-def lstm_finetune_loss(fp_params, frozen_params, stats, x, model, cfg,
-                       axis_name=None):
-    """train_frame_predictor (train.py:175-198): Σ mse_latent, gradient to
-    the frame_predictor only (encoder receives grads in torch but they are
-    zeroed unstepped — equivalent to stop_gradient here)."""
-    params = dict(frozen_params, frame_predictor=fp_params)
-    params, x = _mixed_cast(params, x, cfg)
-    h_all, _, enc_per_frame = encode_frames(model, params, stats, x,
+def finetune_encode(model: DVGModel, params, stats, x, cfg: DVGConfig,
+                    axis_name=None):
+    """The ONE encoder sweep shared by both finetune passes.
+
+    train_frame_predictor and train_GP_Frame_predictor each re-encode the
+    full sequence (train.py:181-183, 155-156) with IDENTICAL encoder
+    parameters (pass 2 steps only the frame_predictor, pass 3 only the GP
+    group) and train-mode BN normalizes by *batch* statistics — so their
+    latents are bit-identical and both passes stop_gradient them. Encoding
+    once deletes a full T-frame conv sweep (~1/5 of the conv work per train
+    step) with zero numerics change. Returns (h_all stop-graded, per-frame
+    BN stats to fold once per pass)."""
+    cparams, cx = _mixed_cast(params, x, cfg)
+    h_all, _, enc_per_frame = encode_frames(model, cparams, stats, cx,
                                             axis_name, remat=cfg.remat)
-    h_all = jax.lax.stop_gradient(h_all)
-    h_pred = lstm_teacher_forced(params["frame_predictor"], h_all[:-1])
-    tm1 = x.shape[0] - 1
+    return jax.lax.stop_gradient(h_all), enc_per_frame
+
+
+def lstm_finetune_from_h(fp_params, h_all, cfg: DVGConfig, axis_name=None):
+    """train_frame_predictor's loss (train.py:175-198): Σ mse_latent over
+    precomputed (stop-graded) latents; gradient reaches the frame_predictor
+    only (torch deposits encoder grads too but never steps them — the next
+    pass's zero_grad discards them)."""
+    if cfg.dtype == "bfloat16":
+        bf = jnp.bfloat16
+        fp_params = jax.tree.map(
+            lambda a: a.astype(bf) if a.dtype == jnp.float32 else a,
+            fp_params)
+    h_pred = lstm_teacher_forced(fp_params, h_all[:-1])
+    tm1 = h_all.shape[0] - 1
     mse_latent = jnp.mean((_f32up(h_pred) - _f32up(h_all[1:])) ** 2) * tm1
     if axis_name is not None:
         mse_latent = jax.lax.pmean(mse_latent, axis_name)
-    new_stats = fold_encoder_stats(stats, enc_per_frame, x.shape[0])
-    return mse_latent, {"stats": new_stats,
-                        "metrics": {"ft_mse_latent": mse_latent}}
+    return mse_latent, {"metrics": {"ft_mse_latent": mse_latent}}
 
 
-def gp_finetune_loss(gp_group, frozen_params, stats, x, model, cfg,
-                     axis_name=None):
-    """train_GP_Frame_predictor (train.py:146-172): Σ(-ELBO), gradient to
+def gp_finetune_from_h(gp_group, h_all, num_data: int, axis_name=None):
+    """train_GP_Frame_predictor's loss (train.py:146-172): Σ(-ELBO) over
+    precomputed latents (h_target detached there, train.py:156; the h input
+    gradient never reaches a stepped parameter group either), gradient to
     gp + likelihood only; exact toeplitz-free dense math throughout."""
-    params = dict(frozen_params, gp=gp_group["gp"],
-                  likelihood=gp_group["likelihood"])
-    params, x = _mixed_cast(params, x, cfg)
-    b = x.shape[1]
-    if axis_name is not None:
-        b = b * jax.lax.psum(1, axis_name)
-    tm1 = x.shape[0] - 1
-    h_all, _, enc_per_frame = encode_frames(model, params, stats, x,
-                                            axis_name, remat=cfg.remat)
-    h_all = jax.lax.stop_gradient(h_all)
     gx, gy = _gp_pairs(_f32up(h_all))
     elbo_t = jax.vmap(lambda xt, yt: gp_mod.elbo(
-        params["gp"], params["likelihood"], xt, yt, num_data=b))(gx, gy)
+        gp_group["gp"], gp_group["likelihood"], xt, yt,
+        num_data=num_data))(gx, gy)
     loss = -jnp.sum(elbo_t)
     if axis_name is not None:
         loss = jax.lax.pmean(loss, axis_name)
-    new_stats = fold_encoder_stats(stats, enc_per_frame, x.shape[0])
-    return loss, {"stats": new_stats, "metrics": {"ft_gp_nll": loss}}
+    return loss, {"metrics": {"ft_gp_nll": loss}}
 
 
 # ---------------------------------------------------------------------------
@@ -414,13 +464,23 @@ def make_train_step_fn(model: DVGModel, cfg: DVGConfig, opts: Optimizers,
         params = merge_params(p_groups)
 
         if cfg.ft:
+            # ---- shared encode for passes 2+3 (identical encoder params,
+            # batch-stat BN → bit-identical latents; see finetune_encode) ---
+            stats_at_encode = stats
+            h_all, enc_per_frame = finetune_encode(model, params, stats, x,
+                                                   cfg, axis_name)
+            seq_len = x.shape[0]
+            b_glob = x.shape[1]
+            if axis_name is not None:
+                b_glob = b_glob * jax.lax.psum(1, axis_name)
+
             # ---- pass 2: LSTM-only ---------------------------------------
             (ft_l, aux2), g_fp = jax.value_and_grad(
-                lstm_finetune_loss, has_aux=True)(
-                    params["frame_predictor"], params, stats, x, model, cfg,
-                    axis_name)
+                lstm_finetune_from_h, has_aux=True)(
+                    params["frame_predictor"], h_all, cfg, axis_name)
             g_fp = global_grads(g_fp)
-            stats = aux2["stats"]
+            # the pass's own encoder EMA fold (train.py:181-183 call order)
+            stats = fold_encoder_stats(stats, enc_per_frame, seq_len)
             metrics.update(aux2["metrics"])
             fp_new, opt_states["frame_predictor"] = _apply_group(
                 opts, "frame_predictor", g_fp,
@@ -431,10 +491,15 @@ def make_train_step_fn(model: DVGModel, cfg: DVGConfig, opts: Optimizers,
             # ---- pass 3: GP-only -------------------------------------------
             gp_group = {"gp": params["gp"], "likelihood": params["likelihood"]}
             (gp_l, aux3), g_gp = jax.value_and_grad(
-                gp_finetune_loss, has_aux=True)(
-                    gp_group, params, stats, x, model, cfg, axis_name)
+                gp_finetune_from_h, has_aux=True)(
+                    gp_group, h_all, b_glob, axis_name)
             g_gp = global_grads(g_gp)
-            stats = aux3["stats"]
+            # pass 3 re-encodes in torch (train.py:155-156): fold the SAME
+            # per-frame stats a second time (sequential EMA telescopes);
+            # the raw batch stats must be recovered against the ENCODE-time
+            # snapshot, not the post-pass-2 fold
+            stats = fold_encoder_stats(stats, enc_per_frame, seq_len,
+                                       base_stats=stats_at_encode)
             metrics.update(aux3["metrics"])
             gp_new, opt_states["gp_group"] = _apply_group(
                 opts, "gp_group", g_gp, opt_states["gp_group"], gp_group,

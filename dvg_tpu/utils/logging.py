@@ -15,11 +15,23 @@ from typing import Dict
 import numpy as np
 
 
+def _is_writer() -> bool:
+    """Only one process may append to the shared metrics file / .npz dir in
+    a multi-host run; non-coordinators still echo to their own stdout."""
+    try:
+        import jax
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
+
 class MetricLogger:
     def __init__(self, log_dir: str, filename: str = "metrics.jsonl",
                  echo: bool = True):
         self.log_dir = log_dir
-        os.makedirs(log_dir, exist_ok=True)
+        self.writer = _is_writer()
+        if self.writer:
+            os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, filename)
         self.echo = echo
         self._t0 = time.time()
@@ -32,8 +44,9 @@ class MetricLogger:
                 rec[k] = float(v)
             except (TypeError, ValueError):
                 rec[k] = v
-        with open(self.path, "a") as f:
-            f.write(json.dumps(rec) + "\n")
+        if self.writer:
+            with open(self.path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
         if self.echo:
             body = " ".join(f"{k}={rec[k]:.5g}" if isinstance(rec[k], float)
                             else f"{k}={rec[k]}" for k in metrics)
@@ -43,6 +56,7 @@ class MetricLogger:
         """Persist eval arrays (e.g. the (B, S, T) SSIM/PSNR grids the
         reference discards)."""
         path = os.path.join(self.log_dir, f"{name}.npz")
-        np.savez_compressed(path, **{k: np.asarray(v)
-                                     for k, v in arrays.items()})
+        if self.writer:
+            np.savez_compressed(path, **{k: np.asarray(v)
+                                         for k, v in arrays.items()})
         return path

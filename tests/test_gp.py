@@ -152,3 +152,25 @@ def test_rsample_statistics():
     np.testing.assert_allclose(np.asarray(std),
                                np.asarray(jnp.sqrt(post.var + noise)),
                                rtol=0.1)
+
+
+def test_cached_fullcov_matches_params_rsample():
+    """cached_rsample_fullcov (GPCache route) must equal
+    rsample(full_cov=True) (params route) for the same key — the
+    reference-exact correlated draw of generate_frames.py:170."""
+    key = jax.random.PRNGKey(0)
+    d, m, b = 6, 5, 7
+    params = G.gp_init(jax.random.PRNGKey(1), d, m)
+    params["var_mean"] = 0.3 * jax.random.normal(jax.random.PRNGKey(2),
+                                                 (d, m))
+    params["var_chol"] = params["var_chol"] + 0.1 * jnp.tril(
+        jax.random.normal(jax.random.PRNGKey(3), (d, m, m)))
+    lik = G.likelihood_init(d)
+    x = jax.random.uniform(jax.random.PRNGKey(4), (d, b, 1))
+    a = G.rsample(params, lik, x, key, full_cov=True)
+    cache = G.build_cache(params, lik)
+    c = G.cached_rsample_fullcov(cache, x, key)
+    # the two routes factorize float-wise different (but equal) covariance
+    # matrices; the Cholesky amplifies the ~1e-7 cov noise a few-fold
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                               rtol=1e-4, atol=5e-6)

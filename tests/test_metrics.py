@@ -129,3 +129,38 @@ def test_batch_matches_scalar_skimage_path():
     s_p, q_p = S.ssim_psnr_batch_pre(pre, p)
     np.testing.assert_allclose(float(s_p[0]), float(s_b[0]), rtol=1e-6)
     np.testing.assert_allclose(float(q_p[0]), float(q_b[0]), rtol=1e-6)
+
+
+def test_einsum_mse_low_mse_regime():
+    """Bounds the f32 cancellation drift of the expanded-form MSE used by
+    diverse_metrics (rollout.py: (Σx² - 2·x·g + Σg²)/F) at TRAINED-model
+    error scale (MSE ~1e-4, far below the init-scale ~0.33 the goldens pin).
+    If this starts failing after a kernel/layout change, switch the rollout
+    back to the broadcast-subtract form for reported MSE."""
+    rng = np.random.default_rng(0)
+    s, b, h, w, c = 4, 3, 64, 64, 3
+    gt = rng.uniform(0.2, 0.8, (b, h, w, c)).astype(np.float32)
+    pred = (gt[None] + rng.normal(0, 1e-2, (s, b, h, w, c))
+            ).astype(np.float32)
+
+    f = h * w * c
+    xs = jnp.asarray(pred.reshape(s, b, f))
+    gs = jnp.asarray(gt.reshape(b, f))
+    cross = jnp.einsum("sbf,bf->sb", xs, gs,
+                       preferred_element_type=jnp.float32)
+    mse_expanded = np.asarray(
+        (jnp.sum(xs * xs, axis=-1) - 2.0 * cross
+         + jnp.sum(gs * gs, axis=-1)[None]) / f)
+
+    mse_exact = ((pred.astype(np.float64) - gt.astype(np.float64)[None]) ** 2
+                 ).reshape(s, b, f).mean(-1)
+    np.testing.assert_allclose(mse_expanded, mse_exact, rtol=5e-2)
+    # ranking separability: samples whose true MSEs differ by more than the
+    # bounded drift keep their order (near-ties may flip — best-of-N
+    # SELECTION uses SSIM, not this logged MSE)
+    drift = np.abs(mse_expanded - mse_exact).max()
+    spread = np.abs(mse_exact[:, None, :] - mse_exact[None, :, :])
+    order_exact = mse_exact[:, None, :] < mse_exact[None, :, :]
+    order_exp = mse_expanded[:, None, :] < mse_expanded[None, :, :]
+    separable = spread > 2 * drift
+    assert (order_exact[separable] == order_exp[separable]).all()

