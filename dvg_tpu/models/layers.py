@@ -121,6 +121,19 @@ def conv_transpose2d_init(key, in_ch: int, out_ch: int, k: int) -> Params:
     }
 
 
+def conv2d_raw(w: jnp.ndarray, x: jnp.ndarray, stride: int = 1,
+               padding: int = 0) -> jnp.ndarray:
+    """Bias-free Conv2d on an explicit kernel slice — the plain-conv
+    counterpart of conv_transpose2d_raw for splitting a conv over a
+    channel-concat input by linearity (vgg decoder groups)."""
+    return lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
 def conv_transpose2d_raw(w: jnp.ndarray, x: jnp.ndarray, stride: int,
                          torch_padding: int) -> jnp.ndarray:
     """Bias-free torch-style ConvTranspose2d. Used by the grouped decoder to

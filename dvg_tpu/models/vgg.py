@@ -145,6 +145,74 @@ def decoder_fold(params, stats):
     }
 
 
+def decoder_apply_grouped(params, stats, vecs, skips_unique, group_idx,
+                          train: bool, image_width: int = 64, axis_name=None):
+    """Decode N latent variants sharing skip frames from a small unique set
+    (the train step's joint pass; see dcgan.decoder_apply_grouped for the
+    full rationale). Only each group's FIRST conv consumes the channel
+    concat (vgg_64.py:97-105), so only that conv splits by linearity:
+        conv(cat(u, s), W) = conv(u, W[:, :, :c_u]) + conv(s, W[:, :, c_u:])
+    with the skip half computed once per UNIQUE skip frame and broadcast to
+    calls through a 0/1 tensordot (dense in both AD directions — an index
+    gather would transpose to a TPU-serialized scatter-add).
+
+    vecs: (N, B, dim); skips_unique: per-stage (U, B, h, w, c);
+    group_idx: (N,) int32. Per-call train-mode BN throughout. Returns
+    (frames (N, B, H, W, nc), per-call stats with leading N axis)."""
+    n, b = vecs.shape[0], vecs.shape[1]
+    cdt = vecs.dtype
+    num_u = skips_unique[0].shape[0]
+    onehot = jax.nn.one_hot(jnp.asarray(group_idx), num_u, dtype=cdt)
+
+    def per_call_bn(p, s, y, act):
+        def one(yc):
+            out, ns = L.batchnorm_apply(p["bn"], s["bn"], yc.astype(cdt),
+                                        train, axis_name=axis_name)
+            return act(out), {"bn": ns}
+        return jax.vmap(one)(y)
+
+    def flat(a):
+        return a.reshape((n * b,) + a.shape[2:])
+
+    def unflat(a):
+        return a.reshape((n, b) + a.shape[1:])
+
+    # head: ConvTranspose 1x1 → 4x4, per-call BN
+    d0 = vecs.reshape(n * b, 1, 1, vecs.shape[-1])
+    y = L.conv_transpose2d_raw(params["head"]["conv"]["w"], d0, 1, 0)
+    y = unflat(y + params["head"]["conv"]["b"].astype(y.dtype))
+    d, head_stats = per_call_bn(params["head"], stats["head"], y,
+                                L.leaky_relu)
+
+    new_group_stats = []
+    for p_group, s_group, sk_u in zip(params["groups"], stats["groups"],
+                                      reversed(skips_unique)):
+        up = L.upsample_nearest2d(flat(d), 2)
+        p0 = p_group[0]
+        c_u = up.shape[-1]
+        w = p0["conv"]["w"]
+        u = sk_u.shape[0]
+        d_out = unflat(L.conv2d_raw(w[:, :, :c_u], up, 1, 1))
+        s_out = L.conv2d_raw(
+            w[:, :, c_u:], sk_u.reshape((u * b,) + sk_u.shape[2:]), 1, 1)
+        s_out = s_out.reshape((u, b) + s_out.shape[1:])
+        y = d_out + jnp.tensordot(onehot, s_out, axes=1) \
+            + p0["conv"]["b"].astype(d_out.dtype)
+        d, ns0 = per_call_bn(p0, s_group[0], y, L.leaky_relu)
+        group_stats = [ns0]
+        for p, s in zip(p_group[1:], s_group[1:]):
+            y = unflat(L.conv2d_apply(p["conv"], flat(d), stride=1,
+                                      padding=1))
+            d, ns = per_call_bn(p, s, y, L.leaky_relu)
+            group_stats.append(ns)
+        new_group_stats.append(group_stats)
+
+    out = L.conv_transpose2d_apply(params["final"], flat(d), stride=1,
+                                   torch_padding=1)
+    out = unflat(jax.nn.sigmoid(out))
+    return out, {"head": head_stats, "groups": new_group_stats}
+
+
 def decoder_apply(params, stats, vec, skips, train: bool, image_width: int = 64,
                   axis_name=None):
     d = vec.reshape(vec.shape[0], 1, 1, vec.shape[-1])

@@ -53,6 +53,48 @@ print("WORKER_OK process", jax.process_index())
 """
 
 
+EVAL_WORKER = """
+import sys, os
+sys.path.insert(0, {repo!r})
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+from dvg_tpu.parallel import (distributed_init, make_mesh, replicate_to_mesh,
+                              shard_diverse_rollout)
+assert distributed_init()
+assert jax.process_count() == 2 and jax.device_count() == 8
+import jax.numpy as jnp
+from dvg_tpu.config import DVGConfig
+from dvg_tpu.models.dvg import DVGModel
+from dvg_tpu.generate.rollout import make_rollout_fns
+
+cfg = DVGConfig(dataset="smmnist", channels=1, image_width=64, batch_size=2,
+                n_past=2, n_future=14, n_eval=16, g_dim=8, rnn_size=16,
+                num_inducing_points=4, nsample=8)
+model = DVGModel(cfg)
+params, stats = model.init(jax.random.PRNGKey(0))
+cache = model.gp_cache(params)
+x = np.asarray(jax.random.uniform(jax.random.PRNGKey(1), (16, 2, 64, 64, 1)))
+key = np.asarray(jax.random.PRNGKey(2))
+
+mesh = make_mesh([("sample", 8)])          # spans both processes
+local_fns = make_rollout_fns(model, cfg, nsample=1)
+metrics_fn = shard_diverse_rollout(local_fns.diverse_metrics, mesh)
+args = replicate_to_mesh((params, stats, cache, x, key), mesh)
+# pre-compile + coordination-service barrier (Gloo ctx init budget is 30 s)
+metrics_fn.lower(*args).compile()
+from jax._src import distributed as _dist
+_dist.global_state.client.wait_at_barrier("dvg_eval_precompile", 1200000)
+out = metrics_fn(*args)
+shards = {{}}
+for name, arr in out.items():
+    for s in arr.addressable_shards:
+        shards[f"{{name}}_{{s.index[0].start}}"] = np.asarray(s.data)
+np.savez(sys.argv[1], **shards)
+print("EVAL_WORKER_OK", jax.process_index())
+"""
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("localhost", 0))
@@ -149,3 +191,79 @@ def test_two_process_distributed_training(tmp_path):
         # step on most elements and trips both this and the max bound
         loose = diff > 1e-4 + np.abs(a) * 1e-3
         assert loose.sum() <= max(2, a.size // 20), (keys, int(loose.sum()))
+
+
+@pytest.mark.perf
+def test_two_process_sample_parallel_eval(tmp_path):
+    """Sample-parallel diverse EVAL across two processes: an 8-device
+    ('sample',) mesh spanning both, shard_map metrics with per-device key
+    folding, inputs lifted via replicate_to_mesh. Every process's
+    addressable sample shards must equal the single-process run of the SAME
+    mesh program (pure forward — tight tolerance)."""
+    port = _free_port()
+    script = str(tmp_path / "eval_worker.py")
+    with open(script, "w") as f:
+        f.write(EVAL_WORKER.format(repo=REPO))
+
+    procs, outs = [], []
+    for pid in range(2):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        flags = env.get("XLA_FLAGS", "")
+        if "device_count" not in flags:
+            flags += " --xla_force_host_platform_device_count=4"
+        else:
+            flags = flags.replace("device_count=8", "device_count=4")
+        env["XLA_FLAGS"] = flags.strip()
+        env["DVG_COORDINATOR"] = f"localhost:{port}"
+        env["DVG_NUM_PROCESSES"] = "2"
+        env["DVG_PROCESS_ID"] = str(pid)
+        out = str(tmp_path / f"eval{pid}.npz")
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, script, out], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    for pid, p in enumerate(procs):
+        try:
+            log, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0 and "EVAL_WORKER_OK" in log, (
+            f"eval process {pid} failed:\n{log[-4000:]}")
+
+    # single-process reference on this test process's own 8-device mesh
+    import jax
+    import numpy as np2
+    from dvg_tpu.config import DVGConfig
+    from dvg_tpu.generate.rollout import make_rollout_fns
+    from dvg_tpu.models.dvg import DVGModel
+    from dvg_tpu.parallel import make_mesh, shard_diverse_rollout
+
+    cfg = DVGConfig(dataset="smmnist", channels=1, image_width=64,
+                    batch_size=2, n_past=2, n_future=14, n_eval=16,
+                    g_dim=8, rnn_size=16, num_inducing_points=4, nsample=8)
+    model = DVGModel(cfg)
+    params, stats = model.init(jax.random.PRNGKey(0))
+    cache = model.gp_cache(params)
+    x = np2.asarray(jax.random.uniform(jax.random.PRNGKey(1),
+                                       (16, 2, 64, 64, 1)))
+    key = np2.asarray(jax.random.PRNGKey(2))
+    mesh = make_mesh([("sample", 8)])
+    local_fns = make_rollout_fns(model, cfg, nsample=1)
+    metrics_fn = shard_diverse_rollout(local_fns.diverse_metrics, mesh)
+    ref = jax.tree.map(np2.asarray,
+                       dict(metrics_fn(params, stats, cache, x, key)))
+
+    got = {}
+    for path in outs:
+        with np2.load(path) as z:
+            got.update({k: z[k] for k in z.files})
+    for name in ("ssim", "psnr", "mse"):
+        for start in range(0, 8, 4):
+            shard = got[f"{name}_{start}"]
+            np2.testing.assert_allclose(
+                shard, ref[name][start:start + shard.shape[0]],
+                rtol=1e-5, atol=1e-6,
+                err_msg=f"{name} samples {start}..")

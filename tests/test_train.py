@@ -183,15 +183,17 @@ def test_bf16_mixed_precision_loss():
     np.testing.assert_allclose(float(loss), float(loss32), rtol=2e-2)
 
 
-def test_grouped_decoder_matches_generic_variant_decode():
-    """decoder_apply_grouped (shared-skip split transposed convs,
-    dcgan.py) must reproduce the generic tile+concat+vmap decode — frames
-    AND the per-call BN stats the EMA fold consumes."""
+@pytest.mark.parametrize("backbone", ["dcgan", "vgg"])
+def test_grouped_decoder_matches_generic_variant_decode(backbone):
+    """decoder_apply_grouped (shared-skip split convs, dcgan.py/vgg.py)
+    must reproduce the generic tile+concat+vmap decode — frames AND the
+    per-call BN stats the EMA fold consumes."""
     from dvg_tpu.models.dvg import DVGModel
 
     cfg = DVGConfig(dataset="smmnist", channels=1, image_width=64,
                     batch_size=2, n_past=3, n_future=3, n_eval=8,
-                    g_dim=8, rnn_size=16, num_inducing_points=4)
+                    g_dim=8, rnn_size=16, num_inducing_points=4,
+                    model=backbone)
     model = DVGModel(cfg)
     params, stats = model.init(jax.random.PRNGKey(0))
     t = cfg.seq_len_train
