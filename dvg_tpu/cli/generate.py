@@ -124,7 +124,8 @@ def main(argv=None) -> int:
                           n_future=args.override_n_eval - cfg.n_past)
     if args.override_batch_size:
         cfg = cfg.replace(batch_size=args.override_batch_size)
-    os.makedirs(cfg.log_dir, exist_ok=True)
+    if is_coordinator():
+        os.makedirs(cfg.log_dir, exist_ok=True)
     logger = MetricLogger(cfg.log_dir)
 
     model = DVGModel(cfg)
@@ -170,6 +171,40 @@ def main(argv=None) -> int:
         metrics_fn = shard_diverse_rollout(local_fns.diverse_metrics, mesh,
                                            data_axis=data_axis)
         s_local_for_keys = s_local
+        if jax.process_count() > 1:
+            # multi-process eval: the mesh spans every process's devices
+            # (make_mesh uses jax.devices()). Lift the model onto the
+            # global mesh once, lift each batch on arrival, and gather the
+            # sample-sharded metrics back to every host. The posterior/
+            # GIF-re-roll paths keep the HOST-LOCAL params (no collectives,
+            # coordinator-only). AOT-compile + barrier first: the gather is
+            # the run's first cross-process collective and its context
+            # init must not race a still-compiling peer.
+            from jax.experimental import multihost_utils
+
+            from dvg_tpu.parallel import replicate_to_mesh
+            g_model = replicate_to_mesh((params, stats, cache), mesh)
+            base_metrics = metrics_fn
+            x_spec = jax.ShapeDtypeStruct(
+                (cfg.n_eval, cfg.batch_size, cfg.image_width,
+                 cfg.image_width, cfg.channels), jnp.float32)
+            k_spec = jax.ShapeDtypeStruct((2,), jnp.uint32)
+            xg_spec, kg_spec = jax.tree.map(
+                lambda s: jax.ShapeDtypeStruct(
+                    s.shape, s.dtype,
+                    sharding=jax.sharding.NamedSharding(
+                        mesh, jax.sharding.PartitionSpec())),
+                (x_spec, k_spec))
+            base_metrics.lower(*g_model, xg_spec, kg_spec).compile()
+            from jax._src import distributed as _dist
+            _dist.global_state.client.wait_at_barrier(
+                "dvg_eval_precompile", timeout_in_ms=1_200_000)
+
+            def metrics_fn(_p, _s, _c, x, key):
+                xg, kg = replicate_to_mesh(
+                    (np.asarray(x), np.asarray(key)), mesh)
+                out = base_metrics(*g_model, xg, kg)
+                return multihost_utils.process_allgather(out, tiled=True)
     else:
         metrics_fn = jax.jit(fns.diverse_metrics)
 

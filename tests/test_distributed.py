@@ -267,3 +267,95 @@ def test_two_process_sample_parallel_eval(tmp_path):
                 shard, ref[name][start:start + shard.shape[0]],
                 rtol=1e-5, atol=1e-6,
                 err_msg=f"{name} samples {start}..")
+
+
+GEN_WORKER = """
+import sys, os
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+from dvg_tpu.parallel import distributed_init
+assert distributed_init()
+assert jax.process_count() == 2 and jax.device_count() == 8
+from dvg_tpu.cli import generate as G
+rc = G.main(["--model_dir", sys.argv[1], "--dataset", "smmnist",
+             "--data_root", "/tmp/nodata", "--log_dir", sys.argv[2],
+             "--nsample", "8", "--mesh_samples", "8", "--num_batches", "1",
+             "--override_n_eval", "12", "--override_batch_size", "2",
+             "--gif_rows", "1"])
+assert rc == 0
+print("GEN_WORKER_OK", jax.process_index())
+"""
+
+
+@pytest.mark.perf
+def test_two_process_generate_cli(tmp_path):
+    """The generation CLI end-to-end across two processes: --mesh_samples 8
+    spans both processes' devices, metrics gather back to every host, only
+    the coordinator writes (npz/jsonl/GIF), and the scores equal a
+    single-process run of the same CLI."""
+    import jax
+
+    from dvg_tpu.config import DVGConfig
+    from dvg_tpu.train.checkpoint import save_checkpoint
+    from dvg_tpu.train.step import init_train_state
+
+    cfg = DVGConfig(dataset="smmnist", channels=1, image_width=64,
+                    batch_size=2, n_past=2, n_future=10, n_eval=12,
+                    g_dim=8, rnn_size=16, num_inducing_points=4)
+    _, state, _ = init_train_state(cfg, jax.random.PRNGKey(0))
+    model_dir = str(tmp_path / "model")
+    save_checkpoint(model_dir, cfg, state)
+
+    port = _free_port()
+    script = str(tmp_path / "gen_worker.py")
+    with open(script, "w") as f:
+        f.write(GEN_WORKER.format(repo=REPO))
+
+    procs, logdirs = [], []
+    for pid in range(2):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        flags = env.get("XLA_FLAGS", "")
+        if "device_count" not in flags:
+            flags += " --xla_force_host_platform_device_count=4"
+        else:
+            flags = flags.replace("device_count=8", "device_count=4")
+        env["XLA_FLAGS"] = flags.strip()
+        env["DVG_COORDINATOR"] = f"localhost:{port}"
+        env["DVG_NUM_PROCESSES"] = "2"
+        env["DVG_PROCESS_ID"] = str(pid)
+        logdir = str(tmp_path / f"gen{pid}")
+        logdirs.append(logdir)
+        procs.append(subprocess.Popen(
+            [sys.executable, script, model_dir, logdir], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    for pid, p in enumerate(procs):
+        try:
+            log, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0 and "GEN_WORKER_OK" in log, (
+            f"gen process {pid} failed:\n{log[-4000:]}")
+
+    assert os.path.exists(os.path.join(logdirs[0], "eval_batch0.npz"))
+    assert os.path.exists(os.path.join(logdirs[0], "metrics.jsonl"))
+    assert any(f.endswith(".gif") for f in os.listdir(logdirs[0]))
+    assert not os.path.exists(logdirs[1])
+
+    # single-process CLI run of the same eval → identical scores
+    from dvg_tpu.cli import generate as G
+    ref_dir = str(tmp_path / "gen_single")
+    assert G.main(["--model_dir", model_dir, "--dataset", "smmnist",
+                   "--data_root", "/tmp/nodata", "--log_dir", ref_dir,
+                   "--nsample", "8", "--mesh_samples", "8",
+                   "--num_batches", "1", "--override_n_eval", "12",
+                   "--override_batch_size", "2", "--gif_rows", "1"]) == 0
+    with np.load(os.path.join(logdirs[0], "eval_batch0.npz")) as a, \
+            np.load(os.path.join(ref_dir, "eval_batch0.npz")) as b:
+        np.testing.assert_allclose(a["ssim"], b["ssim"],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(a["psnr"], b["psnr"],
+                                   rtol=1e-5, atol=1e-5)
