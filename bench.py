@@ -198,7 +198,7 @@ def main() -> int:
     # NB: cost_analysis counts lax.scan bodies once, so the LSTM
     # recurrence's flops enter for 1 of T-1 steps — a ≤2% undercount here
     # (the conv sweeps, which dominate, are vmapped and counted fully)
-    train_mfu = None
+    train_mfu = train_tflops = None
     try:
         tcost = tstep.lower(tstate, xt).compile().cost_analysis()
         if isinstance(tcost, (list, tuple)):
@@ -207,6 +207,10 @@ def main() -> int:
         peak = _peak_flops_per_sec(jax.devices()[0], dtype)
         if tflops > 0 and peak:
             train_mfu = tflops / (train_step_ms / 1000.0) / peak
+            # NB: the grouped decoder cut the step's FLOPs ~32% (PERF.md),
+            # so train_mfu dropped across r2→r3 while the step got FASTER —
+            # judge the step by train_step_ms; train_tflops shows the work
+            train_tflops = tflops / 1e12
     except Exception:
         pass
 
@@ -269,6 +273,8 @@ def main() -> int:
             "train_step_ms": round(train_step_ms, 2),
             "train_mfu": (round(train_mfu, 4)
                           if train_mfu is not None else None),
+            "train_tflops": (round(train_tflops, 3)
+                             if train_tflops is not None else None),
             "mfu": round(mfu, 4) if mfu is not None else None,
             "rollout_tflops": (round(flops_total / 1e12, 2)
                                if flops_total else None),

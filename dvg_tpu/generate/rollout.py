@@ -465,18 +465,26 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
         keys = jax.random.split(key, total)
 
         # warmup: free-run 12 frames, skip frozen from the first 5 encodes
-        # (generate_frames.py:266-271); collect variance norms
-        window = jnp.zeros((warmup, b), jnp.float32)
-        skip = None
-        frames_w = []
-        for i in range(warmup):
+        # (generate_frames.py:266-271); collect variance norms. One scan —
+        # a Python-unrolled loop inlines 12 encoder+decoder copies into the
+        # program and multiplies compile time ~4x
+        window0 = jnp.zeros((warmup, b), jnp.float32)
+        _, skips0 = enc(x_in)
+        skip0 = [jnp.zeros_like(s) for s in skips0]  # overwritten at i=0
+
+        def warm_step(carry, i):
+            hidden, x_in, window, skip = carry
             h, skips_i = enc(x_in)
-            if i < 5:
-                skip = skips_i                          # last update at i=4
+            # reference updates the skip BEFORE decoding while i < 5
+            skip = [jnp.where(i < 5, s_new, s_old)
+                    for s_new, s_old in zip(skips_i, skip)]
             window = window.at[i].set(var_norm(h))
             h_pred, hidden = model.predict_latent(params, hidden, h)
-            x_in, _ = model.decode(params, stats, h_pred, skip, train=False)
-            frames_w.append(x_in)
+            x_out, _ = model.decode(params, stats, h_pred, skip, train=False)
+            return (hidden, x_out, window, skip), x_out
+
+        (hidden, x_in, window, skip), frames_w = jax.lax.scan(
+            warm_step, (hidden, x_in, window0, skip0), jnp.arange(warmup))
 
         def step(carry, scan_in):
             hidden, x_in, window = carry
@@ -496,7 +504,7 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
 
         (_, _, _), (frames_t, trig, values) = jax.lax.scan(
             step, (hidden, x_in, window), keys[warmup:total])
-        frames = jnp.concatenate([jnp.stack(frames_w), frames_t], axis=0)
+        frames = jnp.concatenate([frames_w, frames_t], axis=0)
         return frames.astype(jnp.float32), {"triggers": trig,
                                             "values": values}
 

@@ -1,0 +1,136 @@
+"""Ahead-of-time export of the serving paths — StableHLO via jax.export.
+
+Production serving wants each rollout as a self-contained compiled
+artifact: no model Python on the serving host, no retracing, stable
+byte-level interface. `export_serving` closes the checkpoint's weights over
+the chosen rollout entry point (so the artifact embeds them as constants),
+traces it once, and serializes portable StableHLO; `load_serving` restores
+a callable from the bytes alone.
+
+Exported entry points (all pure; shapes fixed at export time):
+  posterior        (x (T,B,H,W,C) f32)          -> frames (T,B,H,W,C) f32
+  diverse_metrics  (x, key (2,) u32)            -> {ssim,psnr,mse:(S,T',B)}
+  gp_trigger       (x, key)                     -> (frames, diagnostics)
+
+The reference has no serving story at all — its generation entry is a
+script that unpickles whole torch modules (generate_frames.py:43-72);
+this is the TPU-native equivalent of shipping a compiled SavedModel.
+
+CLI:  python -m dvg_tpu.serve.export <model_dir> <out.stablehlo> \
+          [--entry posterior] [--nsample 100] [--batch 50] [--n_eval 105] \
+          [--dtype bfloat16] [--platforms tpu,cpu]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Sequence
+
+
+def export_serving(model_dir: str, out_path: str, entry: str = "posterior",
+                   nsample: int = None, batch_size: int = None,
+                   n_eval: int = None, dtype: str = None,
+                   platforms: Sequence[str] = None) -> str:
+    """Export one serving entry point of a checkpoint to `out_path`
+    (+ a .json sidecar with the geometry). Returns out_path."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jax_export
+
+    from dvg_tpu.generate.rollout import make_rollout_fns
+    from dvg_tpu.models.dvg import DVGModel
+    from dvg_tpu.train import init_train_state, load_checkpoint
+
+    ckpt = os.path.join(model_dir, "model.ckpt") \
+        if not model_dir.endswith(".ckpt") else model_dir
+    saved_cfg, _ = load_checkpoint(ckpt)
+    cfg = saved_cfg.generation_override()
+    if nsample:
+        cfg = cfg.replace(nsample=nsample)
+    if batch_size:
+        cfg = cfg.replace(batch_size=batch_size)
+    if n_eval:
+        cfg = cfg.replace(n_eval=n_eval, n_future=n_eval - cfg.n_past)
+    if dtype:
+        cfg = cfg.replace(dtype=dtype)
+
+    model = DVGModel(cfg)
+    _, skeleton, _ = init_train_state(cfg, jax.random.PRNGKey(0))
+    _, state = load_checkpoint(ckpt, target_state=skeleton)
+    params, stats = state.params, state.stats
+    cache = model.gp_cache(params)
+    fns = make_rollout_fns(model, cfg, nsample=cfg.nsample)
+
+    x_spec = jax.ShapeDtypeStruct(
+        (cfg.n_eval, cfg.batch_size, cfg.image_width, cfg.image_width,
+         cfg.channels), jnp.float32)
+    key_spec = jax.ShapeDtypeStruct((2,), jnp.uint32)
+
+    if entry == "posterior":
+        def serving_fn(x):
+            return fns.posterior(params, stats, cache, x)
+        specs = (x_spec,)
+    elif entry == "diverse_metrics":
+        def serving_fn(x, key):
+            return fns.diverse_metrics(params, stats, cache, x, key)
+        specs = (x_spec, key_spec)
+    elif entry == "gp_trigger":
+        def serving_fn(x, key):
+            return fns.gp_trigger(params, stats, cache, x, key)
+        specs = (x_spec, key_spec)
+    else:
+        raise ValueError(f"unknown entry {entry!r}")
+
+    kw = {}
+    if platforms:
+        kw["platforms"] = list(platforms)
+    exported = jax_export.export(jax.jit(serving_fn), **kw)(*specs)
+    blob = exported.serialize()
+    with open(out_path, "wb") as f:
+        f.write(blob)
+    with open(out_path + ".json", "w") as f:
+        json.dump({"entry": entry, "config": cfg.to_dict(),
+                   "platforms": list(exported.platforms),
+                   "in_shapes": [list(s.shape) for s in specs],
+                   "bytes": len(blob)}, f, indent=1)
+    return out_path
+
+
+def load_serving(path: str):
+    """Bytes → callable. The artifact is self-contained (weights embedded);
+    calling it jit-executes the deserialized StableHLO."""
+    from jax import export as jax_export
+
+    with open(path, "rb") as f:
+        exported = jax_export.deserialize(f.read())
+    return exported.call
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Export a DVG-TPU serving entry point to StableHLO")
+    ap.add_argument("model_dir")
+    ap.add_argument("out")
+    ap.add_argument("--entry", default="posterior",
+                    choices=["posterior", "diverse_metrics", "gp_trigger"])
+    ap.add_argument("--nsample", type=int, default=0)
+    ap.add_argument("--batch", type=int, default=0)
+    ap.add_argument("--n_eval", type=int, default=0)
+    ap.add_argument("--dtype", default="")
+    ap.add_argument("--platforms", default="",
+                    help="comma list, e.g. tpu,cpu (default: current)")
+    a = ap.parse_args(argv)
+    out = export_serving(
+        a.model_dir, a.out, entry=a.entry, nsample=a.nsample or None,
+        batch_size=a.batch or None, n_eval=a.n_eval or None,
+        dtype=a.dtype or None,
+        platforms=[p for p in a.platforms.split(",") if p] or None)
+    print("wrote", out)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
