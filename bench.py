@@ -122,8 +122,9 @@ def main() -> int:
     # ---- MFU estimate -------------------------------------------------------
     # XLA's cost analysis does not multiply loop trip counts, so analyze ONE
     # rollout step (encode + LSTM + GP sample + decode at the merged S·B
-    # batch) and scale by the free-run length. Peak = TPU v5e bf16 spec
-    # (197 TFLOP/s; f32 is half). Falls back silently if the backend
+    # batch) and scale by the free-run length. Peak FLOP/s comes from the
+    # DETECTED device kind (_peak_flops_per_sec) — MFU is omitted, not
+    # guessed, on unknown accelerators. Falls back silently if the backend
     # doesn't expose cost analysis.
     mfu = flops_total = None
     try:

@@ -249,8 +249,10 @@ def main(argv=None) -> int:
             continue
 
         with trace_ctx:
-            print(f"batch {bi}: posterior rollout...", flush=True)
-            post = posterior(params, stats, cache, x)      # (T, B, ...)
+            post = None
+            if is_coordinator():   # only the GIF writer consumes it
+                print(f"batch {bi}: posterior rollout...", flush=True)
+                post = posterior(params, stats, cache, x)  # (T, B, ...)
             print(f"batch {bi}: {cfg.nsample}-sample diverse rollout + "
                   "in-scan SSIM/PSNR...", flush=True)
             met = metrics_fn(params, stats, cache, x, key)  # (S, T', B) each

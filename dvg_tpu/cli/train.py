@@ -104,8 +104,20 @@ def main(argv=None) -> int:
     ckpt_path = os.path.join(cfg.output_path, "model.ckpt")
     if args.resume and os.path.exists(ckpt_path):
         saved_cfg, state = load_checkpoint(ckpt_path, target_state=state)
-        start_epoch = int(state.step) // cfg.epoch_size
-        print(f"resumed from {ckpt_path} at epoch {start_epoch}")
+        print(f"resumed from {ckpt_path}")
+    if args.resume and jax.process_count() > 1:
+        # checkpoints are written coordinator-only, so on per-host local
+        # disks the other processes may have no (or a stale) model.ckpt —
+        # without this broadcast they would silently keep the seed init and
+        # run a different epoch range, corrupting the 'replicated' state
+        from jax.experimental import multihost_utils
+        state = jax.tree.map(
+            np.asarray,
+            multihost_utils.broadcast_one_to_all(
+                jax.tree.map(np.asarray, state)))
+    start_epoch = int(state.step) // cfg.epoch_size
+    if args.resume and start_epoch:
+        print(f"resuming at epoch {start_epoch}")
 
     # ---- data ---------------------------------------------------------------
     train_ds, _ = load_dataset(cfg, seq_len=cfg.seq_len_train)

@@ -146,10 +146,11 @@ def decoder_apply_grouped(params, stats, vecs, skips_unique, group_idx,
         convT(cat(d, s), W) = convT(d, W[:, :, :c_d]) + convT(s, W[:, :, c_d:])
     so the skip half runs once per UNIQUE frame (U·B batch) instead of per
     call (N·B) — and the V-times-tiled skip broadcast + concat copies the
-    generic path pays disappear entirely. The two partials are summed in
-    acc_type (f32): exact in f32 mode; in bf16 each half carries one output
-    rounding, the same order of noise the fused conv's single output
-    rounding already injects into bf16 training.
+    generic path pays disappear entirely. Each partial accumulates in f32
+    INSIDE its conv and rounds once to the compute dtype on output; the sum
+    then happens in that dtype, so in bf16 each half carries one output
+    rounding — the same order of noise the fused conv's single output
+    rounding already injects into bf16 training (exact in f32 mode).
     Returns (frames (N, B, H, W, nc), per-call stats with leading N axis)."""
     final_act = jnp.tanh if image_width == 64 else jax.nn.sigmoid
     n, b = vecs.shape[0], vecs.shape[1]

@@ -141,9 +141,9 @@ def conv_transpose2d_raw(w: jnp.ndarray, x: jnp.ndarray, stride: int,
     half contributions by linearity:
     convT(cat(d, s), W) = convT(d, W[:, :, :c_d]) + convT(s, W[:, :, c_d:]).
     Output stays in x's dtype (a widened preferred_element_type would make
-    the conv transpose rule mix dtypes under AD in bf16); the caller sums
-    the partials in acc_type — in bf16 each half rounds once, the same
-    order of rounding the fused conv applies to its output."""
+    the conv transpose rule mix dtypes under AD in bf16), so in bf16 each
+    half rounds once on output before the sum — the same order of rounding
+    the fused conv applies to its single output."""
     pad = w.shape[0] - 1 - torch_padding
     return lax.conv_transpose(
         x, w,

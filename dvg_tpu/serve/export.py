@@ -41,10 +41,11 @@ def export_serving(model_dir: str, out_path: str, entry: str = "posterior",
     from dvg_tpu.generate.rollout import make_rollout_fns
     from dvg_tpu.models.dvg import DVGModel
     from dvg_tpu.train import init_train_state, load_checkpoint
+    from dvg_tpu.train.checkpoint import restore_state
 
     ckpt = os.path.join(model_dir, "model.ckpt") \
         if not model_dir.endswith(".ckpt") else model_dir
-    saved_cfg, _ = load_checkpoint(ckpt)
+    saved_cfg, payload = load_checkpoint(ckpt)
     cfg = saved_cfg.generation_override()
     if nsample:
         cfg = cfg.replace(nsample=nsample)
@@ -57,7 +58,7 @@ def export_serving(model_dir: str, out_path: str, entry: str = "posterior",
 
     model = DVGModel(cfg)
     _, skeleton, _ = init_train_state(cfg, jax.random.PRNGKey(0))
-    _, state = load_checkpoint(ckpt, target_state=skeleton)
+    state = restore_state(skeleton, payload)   # reuse the single disk read
     params, stats = state.params, state.stats
     cache = model.gp_cache(params)
     fns = make_rollout_fns(model, cfg, nsample=cfg.nsample)

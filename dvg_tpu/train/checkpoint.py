@@ -75,7 +75,14 @@ def load_checkpoint(path: str, target_state=None
     cfg = DVGConfig.from_dict(json.loads(payload["config"]))
     if target_state is None:
         return cfg, payload
-    restored = type(target_state)(
+    return cfg, restore_state(target_state, payload)
+
+
+def restore_state(target_state, payload):
+    """Restore a TrainState structure from an ALREADY-LOADED payload dict —
+    for callers that need the saved config first to build the skeleton
+    (one disk read + msgpack decode instead of two)."""
+    return type(target_state)(
         params=serialization.from_state_dict(target_state.params,
                                              payload["params"]),
         stats=serialization.from_state_dict(target_state.stats,
@@ -84,4 +91,3 @@ def load_checkpoint(path: str, target_state=None
                                                  payload["opt_states"]),
         step=jax.numpy.asarray(payload["step"]),
     )
-    return cfg, restored

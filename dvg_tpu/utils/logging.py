@@ -17,10 +17,13 @@ import numpy as np
 
 def _is_writer() -> bool:
     """Only one process may append to the shared metrics file / .npz dir in
-    a multi-host run; non-coordinators still echo to their own stdout."""
+    a multi-host run; non-coordinators still echo to their own stdout.
+    Delegates to the single source of truth for write ownership
+    (parallel.is_coordinator); lazily, so importing utils never drags jax
+    in, and defensively for jax-free contexts."""
     try:
-        import jax
-        return jax.process_index() == 0
+        from dvg_tpu.parallel import is_coordinator
+        return is_coordinator()
     except Exception:
         return True
 

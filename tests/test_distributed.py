@@ -47,7 +47,8 @@ assert jax.device_count() == 8, jax.device_count()
 assert len(jax.local_devices()) == 4
 from dvg_tpu.cli import train as T
 rc = T.main({cli_args!r} + ["--output_path", sys.argv[1],
-                            "--log_dir", sys.argv[1] + "/logs"])
+                            "--log_dir", sys.argv[1] + "/logs"]
+            + sys.argv[2:])
 assert rc == 0
 print("WORKER_OK process", jax.process_index())
 """
@@ -191,6 +192,41 @@ def test_two_process_distributed_training(tmp_path):
         # step on most elements and trips both this and the max bound
         loose = diff > 1e-4 + np.abs(a) * 1e-3
         assert loose.sum() <= max(2, a.size // 20), (keys, int(loose.sum()))
+
+    # --resume round: only the coordinator HAS a checkpoint (writes are
+    # coordinator-only) — the resumed state must broadcast to the peer or
+    # the two processes would train different epoch ranges from different
+    # params (cli/train.py's broadcast_one_to_all path)
+    port2 = _free_port()
+    procs2 = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        flags = env.get("XLA_FLAGS", "")
+        if "device_count" not in flags:
+            flags += " --xla_force_host_platform_device_count=4"
+        else:
+            flags = flags.replace("device_count=8", "device_count=4")
+        env["XLA_FLAGS"] = flags.strip()
+        env["DVG_COORDINATOR"] = f"localhost:{port2}"
+        env["DVG_NUM_PROCESSES"] = "2"
+        env["DVG_PROCESS_ID"] = str(pid)
+        procs2.append(subprocess.Popen(
+            [sys.executable, script, outs[pid], "--resume", "--niter", "2"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True))
+    for pid, p in enumerate(procs2):
+        try:
+            log, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs2:
+                q.kill()
+            raise
+        assert p.returncode == 0 and "WORKER_OK" in log, (
+            f"resume process {pid} failed:\n{log[-4000:]}")
+        # BOTH processes must resume at epoch 1 — the non-coordinator has
+        # no local checkpoint and gets the state via the broadcast
+        assert "resuming at epoch 1" in log, f"process {pid}:\n{log[-2000:]}"
 
 
 @pytest.mark.perf

@@ -222,6 +222,17 @@ def test_grouped_decoder_matches_generic_variant_decode(backbone):
 
     np.testing.assert_allclose(np.asarray(frames_g), np.asarray(frames_ref),
                                rtol=2e-5, atol=2e-6)
-    # and through the public joint_loss the folded stats/losses agree
-    loss_a, aux_a = S.joint_loss(params, stats, x, model, cfg)
-    np.testing.assert_allclose(float(loss_a), float(loss_a))  # smoke
+    # the per-call BN statistics feed the running-stat EMA fold — compare
+    # them leaf-for-leaf against the generic path. decode_variants already
+    # folded frames_g's per-call stats, so re-derive the grouped per-call
+    # stats directly
+    grouped = model.backbone.decoder_apply_grouped
+    uniq, inv = np.unique(idx, return_inverse=True)
+    skips_u = [s[jnp.asarray(uniq)] for s in skips]
+    gi = jnp.asarray(np.tile(inv, v).astype(np.int32))
+    _, per_call_g = grouped(params["decoder"], stats["decoder"], lat_flat,
+                            skips_u, gi, train=True)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6),
+        per_call_g, per_call_ref)
