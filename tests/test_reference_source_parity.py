@@ -486,3 +486,55 @@ def test_one_train_step_update_parity(ref):
                    - np.asarray(params["encoder"]["head"]["conv"]["w"],
                                 np.float64)).max()
     assert moved > 1e-4
+
+
+def test_import_checkpoint_from_verbatim_reference_pickle(ref, tmp_path):
+    """torch.save a checkpoint through the VERBATIM reference classes (their
+    __module__ really is models.dcgan_64 / models.lstm, so the pickle's
+    class paths are exactly what reference train.py:380-388 writes) and run
+    it through import_checkpoint: the shim-based unpickler + weight
+    converters must produce a native model.ckpt whose encoder equals a
+    direct transplant-back."""
+    model, params, stats = _jax_model()
+    enc, dec, fp = _verbatim_modules(ref, CFG, params, stats, "dcgan")
+    d, m = CFG.g_dim, CFG.num_inducing_points
+    g = torch.Generator().manual_seed(0)
+    gp_sd = {
+        "variational_strategy.inducing_points": torch.rand(d, m, 1,
+                                                           generator=g),
+        "variational_strategy.variational_distribution.variational_mean":
+            torch.randn(d, m, generator=g) * 0.1,
+        "variational_strategy.variational_distribution."
+        "chol_variational_covar":
+            torch.eye(m).expand(d, m, m).contiguous(),
+        "mean_module.constant": torch.zeros(d, 1),
+        "covar_module.raw_outputscale": torch.zeros(d),
+        "covar_module.base_kernel.raw_lengthscale": torch.zeros(d, 1, 1),
+    }
+    lik_sd = {"noise_covar.raw_noise": torch.zeros(d, 1)}
+    import argparse
+    opt = argparse.Namespace(
+        dataset="smmnist", channels=1, image_width=64, batch_size=2,
+        n_past=2, n_future=2, n_eval=6, g_dim=d, rnn_size=32,
+        model="dcgan", last_frame_skip=False, log_dir="x", data_root="y")
+    pth = str(tmp_path / "model.pth")
+    assert enc.__class__.__module__ == "models.dcgan_64"   # the real deal
+    assert fp.__class__.__module__ == "models.lstm"
+    torch.save({"encoder": enc, "decoder": dec, "frame_predictor": fp,
+                "likelihood": lik_sd, "gp_layer": gp_sd,
+                "gp_layer_optimizer": {}, "opt": opt}, pth)
+
+    out = IT.import_checkpoint(pth, str(tmp_path / "imported"))
+    from dvg_tpu.train.checkpoint import load_checkpoint
+    cfg2, payload = load_checkpoint(out)
+    assert (cfg2.g_dim, cfg2.model, cfg2.image_width) == (d, "dcgan", 64)
+    enc_p, _ = IT.dcgan_encoder_t2j(enc)
+    from flax import serialization
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), atol=1e-7),
+        payload["params"]["encoder"], serialization.to_state_dict(enc_p))
+    np.testing.assert_allclose(
+        payload["params"]["gp"]["z"],
+        gp_sd["variational_strategy.inducing_points"].numpy().reshape(
+            d, m, 1))
