@@ -262,3 +262,47 @@ def test_tfrecord_example_roundtrip(tmp_path):
     assert len(recs) == 1
     feats = parse_example(recs[0])
     assert feats["0/image_aux1/encoded"][0] == img
+
+
+def test_loader_process_local_rows_match_global_batch(tmp_path, monkeypatch):
+    """Loader._build_process_local: the per-process row blocks must
+    concatenate to EXACTLY the single-process global batch, for both the
+    synthetic-stream path (full-batch generate + slice: the stream RNG is
+    seeded by batch SIZE, so a half-batch is not a slice) and the per-item
+    index path (shared (seed, step) index list, sliced). Multi-process
+    context is simulated by monkeypatching the process topology."""
+    import jax
+
+    from dvg_tpu.data.frames import BAIR
+    from dvg_tpu.data.moving_mnist import MovingMNIST
+
+    _make_bair_tree(str(tmp_path))
+    datasets = [
+        MovingMNIST(train=True, seq_len=4, image_size=64, seed=3),
+        BAIR(train=True, data_root=str(tmp_path), seq_len=5),
+    ]
+    captured = {}
+
+    def fake_make_array(sharding, local):
+        captured["local"] = np.asarray(local)
+        return local
+
+    for ds in datasets:
+        loader = Loader(ds, batch_size=8, seed=0, num_threads=1,
+                        sharding="sentinel")
+        # host-assembled reference (device_assemble uses the on-device
+        # scatter-add whose zeros differ from numpy's at subnormal level)
+        full = Loader(ds, batch_size=8, seed=0, num_threads=1,
+                      device_assemble=False)._build(3)
+        full = np.asarray(full)
+        halves = []
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        monkeypatch.setattr(jax, "make_array_from_process_local_data",
+                            fake_make_array)
+        for pid in range(2):
+            monkeypatch.setattr(jax, "process_index", lambda p=pid: p)
+            loader._build(3)
+            halves.append(captured["local"])
+        monkeypatch.undo()
+        got = np.concatenate(halves, axis=1)
+        np.testing.assert_array_equal(got, full, err_msg=type(ds).__name__)
