@@ -23,6 +23,9 @@ Reference behaviors reproduced (/root/reference/generate_frames.py):
     window of GP predictive-variance norms; afterwards a step forks to a GP
     sample whenever value > mean(window) + (2 + 0.01·depth)·std(window)
     (`depth` never increments in the reference → the 2.01σ constant).
+    On triggered steps the reference's branch never calls the
+    frame_predictor (generate_frames.py:286-291) — the LSTM hidden stays
+    stale there; reproduced per-row.
     The reference computes the variance norm for a single hardcoded batch
     row (index [3] at generate_frames.py:230 vs the loop index at 275) and
     loops rows serially; here every batch row carries its own rolling
@@ -494,11 +497,19 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
             window = jnp.concatenate([window[1:], value[None]], axis=0)
             thresh = (jnp.mean(window, axis=0)
                       + 2.01 * jnp.std(window, axis=0))  # depth frozen at 1
-            h_pred, hidden = model.predict_latent(params, hidden, h)
+            h_pred, hidden_new = model.predict_latent(params, hidden, h)
             sample = model.from_gp_layout(
                 gp_mod.cached_rsample(cache, model.to_gp_layout(h), k))
             trig = (value > thresh)[:, None]             # (B, 1)
             latent = jnp.where(trig, sample, h_pred)
+            # the reference's trigger branch (generate_frames.py:286-291)
+            # never calls frame_predictor — the LSTM hidden stays STALE on
+            # triggered rows (only `generation()` advances it); verified
+            # against the torch-executed verbatim control flow in
+            # tests/test_trained_model_parity.py
+            hidden = jax.tree.map(
+                lambda old, new: jnp.where(trig[None], old, new),
+                hidden, hidden_new)
             x_out, _ = model.decode(params, stats, latent, skip, train=False)
             return (hidden, x_out, window), (x_out, trig[:, 0], value)
 
@@ -506,7 +517,8 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
             step, (hidden, x_in, window), keys[warmup:total])
         frames = jnp.concatenate([frames_w, frames_t], axis=0)
         return frames.astype(jnp.float32), {"triggers": trig,
-                                            "values": values}
+                                            "values": values,
+                                            "warmup_values": window}
 
     return RolloutFns(posterior=posterior, diverse=diverse,
                       diverse_metrics=diverse_metrics,

@@ -42,6 +42,12 @@ finetune pass leak into the next joint-pass `optimizer.step()` because
 `train_model` never zeroes the GP optimizer (train.py:200-207 zero only
 encoder/decoder/frame_predictor). We compute fresh gradients per pass —
 the leak is an accumulation artifact of `.backward()`, not a design.
+MEASURED (tests/test_trained_model_parity.py::test_gp_grad_leak_quantified,
+float64, two consecutive batches of torch-with-leak vs torch-without-leak
+from identical weights): encoder/decoder/LSTM parameters stay BITWISE
+identical; the GP group diverges by max |Δ| ≈ 0.9–1.3e-3 per tensor
+(≈ 0.45–0.65 × gp_lr=2e-3 — i.e. a fraction of one Adam step on the GP
+group only).
 """
 
 from __future__ import annotations

@@ -224,10 +224,15 @@ def test_gp_trigger_matches_python_reference(setup):
         value = var_norm(h)
         window = np.concatenate([window[1:], value[None]], axis=0)
         thresh = window.mean(0) + 2.01 * window.std(0)
-        h_pred, hidden = model.predict_latent(params, hidden, h)
+        h_pred, hidden_new = model.predict_latent(params, hidden, h)
         sample = model.from_gp_layout(G.cached_rsample(
             cache, model.to_gp_layout(h), keys[i]))
         trig = value > thresh
+        # triggered rows skip the frame_predictor in the reference
+        # (generate_frames.py:286-291) — their hidden stays stale
+        tb = jnp.asarray(trig)[None, :, None]
+        hidden = jax.tree.map(
+            lambda old, new: jnp.where(tb, old, new), hidden, hidden_new)
         latent = jnp.where(jnp.asarray(trig)[:, None], sample, h_pred)
         x_in, _ = model.decode(params, stats, latent, skip, train=False)
         ref_frames.append(np.asarray(x_in))

@@ -1,0 +1,683 @@
+"""Trained-model end-to-end protocol parity (the last unverified surface).
+
+tests/test_reference_source_parity.py proves forward/loss/update parity at
+init-scale weights. This file closes the gap VERDICT r3 ranked first: it
+TRAINS the verbatim reference loop (torch, CPU, float32 — the exact 3-pass
+sequence train_model → train_frame_predictor → train_GP_Frame_predictor of
+/root/reference/train.py:358-361, including the reference's native GP-grad
+leak) for a few hundred real Moving-MNIST steps, torch.saves a genuine
+reference-format model.pth THROUGH the verbatim classes
+(train.py:380-388), imports it with train.import_torch.import_checkpoint,
+and asserts on the TRAINED weights — where BN running stats, GP
+hyperparameters and latent dynamics are all non-degenerate:
+
+  * the deterministic POSTERIOR rollout (torch-executed make_gifs loop,
+    generate_frames.py:111-134: teacher-forced context, GP-mean decode of
+    the LSTM prediction, stale skip) matches the JAX `posterior` path
+    frame-wise;
+  * the diverse best-of-N protocol (generate_frames.py:143-178, fork at
+    i % 15 == 0 decoding a batch-correlated `.rsample()` of
+    likelihood(gp(h))) agrees on best-of-N mean SSIM within the 0.5%
+    north-star budget (BASELINE.md), with the torch side drawing the
+    reference-exact correlated sample;
+  * the verbatim GPtrigger_gen control flow (generate_frames.py:249-300,
+    torch-executed: 12-step free-run warmup with skip capture at i<5, the
+    sliding 12-value window, mean+2.01σ threshold, the hardcoded-[3]
+    variance-norm row, frame_predictor SKIPPED on trigger steps) matches
+    the JAX `gp_trigger` path restricted to batch row 3;
+  * the one deliberate training deviation — dvg_tpu zeroes the GP
+    optimizer's grads every batch where the reference leaks them across
+    batches (train.py:200-245 never calls optimizer.zero_grad()) — is
+    QUANTIFIED: two consecutive batches of torch-with-leak vs
+    torch-without-leak diverge only in the GP group, at the measured
+    magnitude recorded in PARITY.md.
+"""
+
+import os
+import sys
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+import test_reference_source_parity as RSP  # verbatim-import + GP mirror
+
+from dvg_tpu.config import DVGConfig
+from dvg_tpu.data.moving_mnist import MovingMNIST
+from dvg_tpu.generate.rollout import make_rollout_fns
+from dvg_tpu.models.dvg import DVGModel
+from dvg_tpu.ops import ssim as ssim_ops
+from dvg_tpu.train import import_torch as IT
+from dvg_tpu.train import step as S
+from dvg_tpu.train.checkpoint import load_checkpoint
+from dvg_tpu.train.optim import make_optimizers, split_params
+
+REFERENCE = "/root/reference"
+
+# small-but-real: full 64x64 dcgan stack, 2-layer LSTM, real GP
+TCFG = DVGConfig(dataset="smmnist", channels=1, image_width=64,
+                 batch_size=4, n_past=2, n_future=3, n_eval=32,
+                 g_dim=24, rnn_size=64, num_inducing_points=8)
+TRAIN_STEPS = int(os.environ.get("DVG_PARITY_TRAIN_STEPS", "200"))
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Import the verbatim reference model modules off /root/reference
+    (same recipe as test_reference_source_parity.ref — fixtures don't
+    import across modules)."""
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    saved = {k: sys.modules[k] for k in list(sys.modules)
+             if k == "models" or k.startswith("models.")}
+    for k in saved:
+        del sys.modules[k]
+    sys.path.insert(0, REFERENCE)
+    try:
+        import importlib
+        dcgan_64 = importlib.import_module("models.dcgan_64")
+        vgg_64 = importlib.import_module("models.vgg_64")
+        lstm_mod = importlib.import_module("models.lstm")
+        assert dcgan_64.__file__.startswith(REFERENCE)
+        yield SimpleNamespace(dcgan=dcgan_64, vgg=vgg_64, lstm=lstm_mod)
+    finally:
+        sys.path.remove(REFERENCE)
+        for k in [k for k in list(sys.modules)
+                  if k == "models" or k.startswith("models.")]:
+            del sys.modules[k]
+        sys.modules.update(saved)
+        torch.Tensor.cuda = orig_cuda
+
+
+# ===========================================================================
+# torch-side helpers
+# ===========================================================================
+
+def _gp_tensors(params, dtype):
+    """Torch leaf tensors (requires_grad) mirroring the JAX GP pytrees, in
+    the requested dtype (RSP's builder is float64-only)."""
+    npdt = np.float64 if dtype == torch.float64 else np.float32
+    mk = lambda a: torch.tensor(np.asarray(a, npdt), requires_grad=True)
+    gp = {k: mk(v) for k, v in params["gp"].items()}
+    lik = {"raw_noise": mk(params["likelihood"]["raw_noise"])}
+    return gp, lik
+
+
+def _t_frames(x):
+    """(T, B, H, W, C) numpy → list of torch NCHW tensors."""
+    return [torch.from_numpy(np.ascontiguousarray(
+        x[i].transpose(0, 3, 1, 2))) for i in range(x.shape[0])]
+
+
+def _np_frame(t):
+    """torch NCHW → numpy NHWC."""
+    return np.ascontiguousarray(
+        t.detach().numpy().transpose(0, 2, 3, 1))
+
+
+def _t_predictive_mean_cov(gp, lik, x):
+    """Mean and FULL B×B predictive covariance of likelihood(gp(x)) —
+    the distribution generate_frames.py:170's `.rsample()` draws from.
+    x: (D, B, 1) → mean (D, B), cov (D, B, B). Mirrors
+    models/gp.py::cached_rsample_fullcov (incl. noise + JITTER on the
+    diagonal)."""
+    z = gp["z"]
+    m = z.shape[1]
+    kzz = RSP._t_cross(gp, z, z) + 1e-4 * torch.eye(m, dtype=z.dtype)
+    l_k = torch.linalg.cholesky(kzz)
+    kxz = RSP._t_cross(gp, x, z)
+    a = torch.linalg.solve_triangular(l_k, kxz.transpose(1, 2),
+                                      upper=False).transpose(1, 2)
+    mean = gp["mean_const"][:, None] + torch.einsum(
+        "dbm,dm->db", a, gp["var_mean"])
+    l_s = torch.tril(gp["var_chol"])
+    a_ls = torch.einsum("dbm,dmn->dbn", a, l_s)
+    kxx = RSP._t_cross(gp, x, x)
+    cov = (kxx - torch.einsum("dbm,dcm->dbc", a, a)
+           + torch.einsum("dbm,dcm->dbc", a_ls, a_ls))
+    noise = torch.nn.functional.softplus(lik["raw_noise"]) + 1e-4
+    b = x.shape[1]
+    cov = cov + (noise[:, None, None] + 1e-4) * torch.eye(b, dtype=z.dtype)
+    return mean, cov
+
+
+def _t_variance_norm(gp, lik, x):
+    """generate_frames.py:230/275: ||likelihood(gp(h)).variance||₂ per
+    batch row (norm over the D tasks)."""
+    _, var = RSP._t_posterior(gp, x)
+    noise = torch.nn.functional.softplus(lik["raw_noise"]) + 1e-4
+    v = var + noise[:, None]                       # (D, B)
+    return np.linalg.norm(v.detach().numpy().T, axis=1)   # (B,)
+
+
+class RefTrainer:
+    """The verbatim reference per-batch training sequence
+    (train.py:358-361) over the verbatim modules + the torch GP mirror.
+
+    `leak=True` reproduces the reference exactly: train_model
+    (train.py:200-245) zeroes encoder/decoder/frame_predictor but NEVER the
+    GP optimizer, so pass 1 of batch k adds its GP grads on top of batch
+    k-1's pass-3 leftovers. `leak=False` is dvg_tpu's fixed semantics
+    (fresh GP grads every pass)."""
+
+    def __init__(self, enc, dec, fp, gp, lik, cfg, leak=True):
+        self.enc, self.dec, self.fp = enc, dec, fp
+        self.gp, self.lik = gp, lik
+        self.cfg, self.leak = cfg, leak
+        self.crit = torch.nn.MSELoss()
+        # train.py:95-106
+        self.opt_fp = torch.optim.Adam(fp.parameters(), lr=cfg.lr)
+        self.opt_enc = torch.optim.Adam(enc.parameters(), lr=cfg.lr)
+        self.opt_dec = torch.optim.Adam(dec.parameters(), lr=cfg.lr)
+        self.opt_gp = torch.optim.Adam(
+            [{"params": list(gp.values())},
+             {"params": [lik["raw_noise"]]}], lr=cfg.gp_lr)
+
+    def _zero_gp(self):
+        for t in list(self.gp.values()) + [self.lik["raw_noise"]]:
+            t.grad = None
+
+    def train_model(self, xt):                      # train.py:200-245
+        cfg, crit = self.cfg, self.crit
+        b = xt[0].shape[0]
+        self.enc.zero_grad(), self.dec.zero_grad(), self.fp.zero_grad()
+        if not self.leak:
+            self._zero_gp()         # the reference NEVER does this here
+        self.fp.hidden = self.fp.init_hidden()
+        mse = mse_latent = ae_mse = mse_gp = 0
+        max_ll = torch.zeros(cfg.g_dim, dtype=xt[0].dtype)
+        skip = None
+        for i in range(1, cfg.seq_len_train):
+            h_full = self.enc(xt[i - 1])
+            h_target = self.enc(xt[i])[0]
+            if i < cfg.n_past:                      # train.py:217-220
+                h, skip = h_full
+            else:
+                h = h_full[0]
+            h_pred = self.fp(h)
+            mse_latent = mse_latent + crit(h_pred, h_target)
+            gp_x = RSP._gp_in(h, cfg.g_dim, b)      # train.py:225
+            max_ll = max_ll - RSP._t_elbo(
+                self.gp, self.lik, gp_x, h_target.transpose(0, 1),
+                num_data=cfg.batch_size)
+            gp_mean, _ = RSP._t_posterior(self.gp, gp_x)
+            x_pred = self.dec([h_pred, skip])
+            x_target_pred = self.dec([h_target, skip])
+            x_pred_gp = self.dec([gp_mean.transpose(0, 1), skip])
+            mse = mse + crit(x_pred, xt[i])
+            ae_mse = ae_mse + crit(x_target_pred, xt[i])
+            mse_gp = mse_gp + crit(x_pred_gp, xt[i])
+        loss = (1000 * ae_mse + 0.001 * mse + 0.01 * mse_latent
+                + 0.001 * mse_gp + 0.0001 * max_ll.sum())
+        loss.backward()
+        self.opt_fp.step(), self.opt_enc.step(), self.opt_dec.step()
+        self.opt_gp.step()
+        return float(loss)
+
+    def train_frame_predictor(self, xt):            # train.py:175-198
+        cfg, crit = self.cfg, self.crit
+        self.fp.zero_grad()
+        self.fp.hidden = self.fp.init_hidden()
+        ft = 0
+        for i in range(1, cfg.seq_len_train):
+            h_full = self.enc(xt[i - 1])
+            h_target = self.enc(xt[i])[0]
+            h = h_full[0]
+            ft = ft + crit(self.fp(h), h_target)
+        ft.backward()
+        self.opt_fp.step()
+        return float(ft)
+
+    def train_gp(self, xt):                         # train.py:146-172
+        cfg = self.cfg
+        b = xt[0].shape[0]
+        self._zero_gp()                             # train.py:147
+        self.fp.hidden = self.fp.init_hidden()      # set, never used
+        max_ll = torch.zeros(cfg.g_dim, dtype=xt[0].dtype)
+        for i in range(1, cfg.seq_len_train):
+            h_full = self.enc(xt[i - 1])
+            h_target = self.enc(xt[i])[0].detach()  # train.py:156
+            h = h_full[0]   # train.py:161's h.detach() is a no-op
+            max_ll = max_ll - RSP._t_elbo(
+                self.gp, self.lik, RSP._gp_in(h, cfg.g_dim, b),
+                h_target.transpose(0, 1), num_data=cfg.batch_size)
+        loss = max_ll.sum()
+        loss.backward()
+        self.opt_gp.step()
+        return float(loss)
+
+    def step(self, x):
+        """One reference batch: train.py:358-361 (opt.ft path)."""
+        xt = _t_frames(x)
+        l1 = self.train_model(xt)
+        l2 = self.train_frame_predictor(xt)
+        l3 = self.train_gp(xt)
+        return l1, l2, l3
+
+
+def _save_reference_pth(path, enc, dec, fp, gp, lik, cfg):
+    """torch.save the exact train.py:380-388 schema through the verbatim
+    classes (their __module__ is really models.dcgan_64 / models.lstm) with
+    gpytorch-layout GP/likelihood state dicts."""
+    d = cfg.g_dim
+    det = lambda t: t.detach().clone()
+    gp_sd = {
+        "variational_strategy.inducing_points": det(gp["z"]),
+        "variational_strategy.variational_distribution.variational_mean":
+            det(gp["var_mean"]),
+        "variational_strategy.variational_distribution."
+        "chol_variational_covar": det(gp["var_chol"]),
+        "mean_module.constant": det(gp["mean_const"]).reshape(d, 1),
+        "covar_module.raw_outputscale": det(gp["raw_outputscale"]),
+        "covar_module.base_kernel.raw_lengthscale":
+            det(gp["raw_lengthscale"]).reshape(d, 1, 1),
+    }
+    lik_sd = {"noise_covar.raw_noise": det(lik["raw_noise"]).reshape(d, 1)}
+    import argparse
+    opt = argparse.Namespace(
+        dataset=cfg.dataset, channels=cfg.channels,
+        image_width=cfg.image_width, batch_size=cfg.batch_size,
+        n_past=cfg.n_past, n_future=cfg.n_future, n_eval=cfg.n_eval,
+        g_dim=cfg.g_dim, rnn_size=cfg.rnn_size, model="dcgan",
+        last_frame_skip=False, log_dir="x", data_root="y")
+    assert enc.__class__.__module__ == "models.dcgan_64"
+    assert fp.__class__.__module__ == "models.lstm"
+    torch.save({"encoder": enc, "decoder": dec, "frame_predictor": fp,
+                "likelihood": lik_sd, "gp_layer": gp_sd,
+                "gp_layer_optimizer": {}, "opt": opt}, path)
+
+
+def _mnist_batch(ds, step, batch_size):
+    return np.stack([ds[step * batch_size + j][0]
+                     for j in range(batch_size)], axis=1)
+
+
+# ===========================================================================
+# the trained model (module-scope: train once, reuse across tests)
+# ===========================================================================
+
+@pytest.fixture(scope="module")
+def trained(ref, tmp_path_factory):
+    model, params, stats = RSP._jax_model(TCFG)
+    params = RSP._perturb_gp(params)    # off the degenerate pristine init
+    enc, dec, fp = RSP._verbatim_modules(ref, TCFG, params, stats, "dcgan")
+    enc.train(), dec.train(), fp.train()
+    gp, lik = _gp_tensors(params, torch.float32)
+    trainer = RefTrainer(enc, dec, fp, gp, lik, TCFG, leak=True)
+
+    ds = MovingMNIST(train=True, seq_len=TCFG.seq_len_train,
+                     image_size=64, seed=5)
+    losses = []
+    for step in range(TRAIN_STEPS):
+        x = _mnist_batch(ds, step, TCFG.batch_size)
+        losses.append(trainer.step(x)[0])
+    # the model must be genuinely trained, not noise
+    early, late = np.mean(losses[:10]), np.mean(losses[-10:])
+    assert late < 0.5 * early, (early, late)
+
+    enc.eval(), dec.eval(), fp.eval()
+    tmp = tmp_path_factory.mktemp("trained")
+    pth = str(tmp / "model.pth")
+    _save_reference_pth(pth, enc, dec, fp, gp, lik, TCFG)
+
+    out = IT.import_checkpoint(pth, str(tmp / "imported"))
+    cfg2, payload = load_checkpoint(out)
+    assert (cfg2.g_dim, cfg2.model, cfg2.num_inducing_points) == (
+        TCFG.g_dim, "dcgan", TCFG.num_inducing_points)
+    jmodel = DVGModel(cfg2)
+    # restore against a skeleton so msgpack's string-keyed dicts become the
+    # real pytree (lists-of-stages) — same contract as cli/generate.py:134
+    _, skeleton, _ = S.init_train_state(cfg2, jax.random.PRNGKey(0))
+    from dvg_tpu.train.checkpoint import restore_state
+    state = restore_state(skeleton, payload)
+    jparams, jstats = state.params, state.stats
+    cache = jmodel.gp_cache(jparams)
+
+    test_ds = MovingMNIST(train=False, seq_len=40,   # longest protocol below
+                          image_size=64, seed=9)
+    return SimpleNamespace(
+        enc=enc, dec=dec, fp=fp, gp=gp, lik=lik, cfg=TCFG,
+        cfg2=cfg2, model=jmodel, params=jparams, stats=jstats, cache=cache,
+        test_ds=test_ds, losses=losses)
+
+
+def _eval_clip(trained, n_frames, batch):
+    return np.stack([trained.test_ds[j][0][:n_frames]
+                     for j in range(batch)], axis=1)
+
+
+# ===========================================================================
+# (a) posterior rollout — frame-wise on trained weights
+# ===========================================================================
+
+def test_trained_posterior_rollout_parity(trained):
+    """generate_frames.py:111-134 torch-executed on the TRAINED verbatim
+    modules vs the imported checkpoint's JAX posterior path, frame-wise."""
+    n_past, n_eval, b = 2, 22, 8
+    cfg_e = trained.cfg2.replace(n_past=n_past, n_eval=n_eval,
+                                 n_future=n_eval - n_past,
+                                 batch_size=b, dtype="float32")
+    fns = make_rollout_fns(trained.model, cfg_e, nsample=2)
+    x = _eval_clip(trained, n_eval, b)
+
+    j_frames = np.asarray(fns.posterior(
+        trained.params, trained.stats, trained.cache, jnp.asarray(x)))
+
+    enc, dec, fp = trained.enc, trained.dec, trained.fp
+    gp, lik = trained.gp, trained.lik
+    g_dim = trained.cfg.g_dim
+    xt = _t_frames(x)
+    with torch.no_grad():
+        fp.batch_size = b       # generation resets opt.batch_size (gf.py:49)
+        fp.hidden = fp.init_hidden()
+        gen = [x[0]]
+        x_in = xt[0]
+        skip = None
+        for i in range(1, n_eval):
+            hh = enc(x_in)
+            if i < n_past:
+                h, skip = hh
+            else:
+                h = hh[0]
+            if i < n_past:
+                fp(h)
+                x_in = xt[i]
+                gen.append(x[i])
+            else:
+                h_pred = fp(h)
+                mean, _ = RSP._t_posterior(gp, RSP._gp_in(h_pred, g_dim, b))
+                x_in = dec([mean.transpose(0, 1), skip])
+                gen.append(_np_frame(x_in))
+    t_frames = np.stack(gen)
+
+    err = np.abs(j_frames - t_frames).max(axis=(1, 2, 3, 4))
+    # autoregressive f32 drift compounds over the 20 free frames; the
+    # trained decoder is contractive enough that it stays ~1e-4
+    assert err.max() < 5e-3, err
+    np.testing.assert_allclose(j_frames[:n_past + 5], t_frames[:n_past + 5],
+                               atol=5e-4)
+
+
+# ===========================================================================
+# (b) diverse best-of-N SSIM — the north-star 0.5% budget
+# ===========================================================================
+
+def test_trained_diverse_best_of_n_ssim(trained):
+    """generate_frames.py:143-178 torch-executed (reference-exact
+    batch-correlated rsample at the i%15 forks) vs the JAX diverse_metrics
+    path (default per-row marginal law): best-of-N mean SSIM must agree
+    within the 0.5% BASELINE.md budget. SSIM for BOTH sides comes from the
+    same skimage-exact kernel (ops/ssim.py) so the comparison isolates the
+    generation distribution."""
+    n_past, n_eval, b, nsample = 2, 32, 8, 20
+    n_free = n_eval - n_past
+    cfg_e = trained.cfg2.replace(n_past=n_past, n_eval=n_eval,
+                                 n_future=n_free, batch_size=b,
+                                 nsample=nsample, dtype="float32")
+    fns = make_rollout_fns(trained.model, cfg_e, nsample=nsample)
+    x = _eval_clip(trained, n_eval, b)
+
+    met = jax.tree.map(np.asarray, fns.diverse_metrics(
+        trained.params, trained.stats, trained.cache, jnp.asarray(x),
+        jax.random.PRNGKey(42)))
+    j_ssim = met["ssim"]                                  # (S, n_free, B)
+    j_best = j_ssim.mean(axis=1).max(axis=0)              # (B,)
+
+    # ---- torch side: verbatim diverse loop -------------------------------
+    enc, dec, fp = trained.enc, trained.dec, trained.fp
+    gp, lik = trained.gp, trained.lik
+    g_dim = trained.cfg.g_dim
+    xt = _t_frames(x)
+    gen_rng = torch.Generator().manual_seed(1234)
+    ssim_fn = jax.jit(ssim_ops.ssim_psnr_batch)
+    t_ssim = np.zeros((nsample, n_free, b))
+    with torch.no_grad():
+        for s in range(nsample):
+            fp.batch_size = b
+            fp.hidden = fp.init_hidden()
+            x_in = xt[0]
+            skip = None
+            fi = 0
+            for i in range(1, n_eval):
+                hh = enc(x_in)
+                if i < n_past:
+                    h, skip = hh
+                else:
+                    h = hh[0]
+                if i < n_past:
+                    fp(h)
+                    x_in = xt[i]
+                else:
+                    h_pred = fp(h)
+                    if i % 15 == 0:                 # gf.py:168-170
+                        mean, cov = _t_predictive_mean_cov(
+                            gp, lik, RSP._gp_in(h, g_dim, b))
+                        l = torch.linalg.cholesky(cov)
+                        eps = torch.randn(g_dim, b, generator=gen_rng,
+                                          dtype=mean.dtype)
+                        samp = mean + torch.einsum("dbc,dc->db", l, eps)
+                        x_in = dec([samp.transpose(0, 1), skip])
+                    else:
+                        x_in = dec([h_pred, skip])
+                    sv, _ = ssim_fn(jnp.asarray(x[i]),
+                                    jnp.asarray(_np_frame(x_in)))
+                    t_ssim[s, fi] = np.asarray(sv)
+                    fi += 1
+    t_best = t_ssim.mean(axis=1).max(axis=0)              # (B,)
+
+    rel = abs(j_best.mean() - t_best.mean()) / t_best.mean()
+    assert rel < 0.005, (j_best.mean(), t_best.mean(), rel)
+    # Secondary: all-sample mean SSIM. The two sides draw from INDEPENDENT
+    # RNG streams (and documented different-but-equal-marginal sampling
+    # laws), so this estimator carries real Monte-Carlo noise at S=20 — a
+    # fixed relative budget is unsound here. Bound the gap by the standard
+    # error of the across-sample difference instead (best-of-N above is
+    # the protocol metric and holds the 0.5% budget).
+    j_per = j_ssim.mean(axis=(1, 2))                      # (S,)
+    t_per = t_ssim.mean(axis=(1, 2))
+    se = np.sqrt(j_per.var(ddof=1) / nsample + t_per.var(ddof=1) / nsample)
+    gap = abs(j_per.mean() - t_per.mean())
+    assert gap < max(3.0 * se, 0.005 * t_per.mean()), (
+        j_per.mean(), t_per.mean(), gap, se)
+
+
+# ===========================================================================
+# (c) GPtrigger_gen — verbatim control flow, batch row 3
+# ===========================================================================
+
+def test_trained_gp_trigger_verbatim_parity(trained):
+    """Execute the reference's trigger control flow (gf.py:249-300) in
+    torch with the TRAINED verbatim modules for index=3 — the one row for
+    which the reference's hardcoded `[3]` in var_value (gf.py:230) is
+    self-consistent with the warmup's `[index]` (gf.py:275) — and compare
+    the JAX gp_trigger path restricted to row 3: warmup frames, window
+    values, thresholds and fork decisions, frame-wise until the first
+    random fork."""
+    n_eval, b, warmup = 40, 8, 12
+    cfg_e = trained.cfg2.replace(n_past=2, n_eval=n_eval,
+                                 n_future=n_eval - 2, batch_size=b,
+                                 dtype="float32")
+    fns = make_rollout_fns(trained.model, cfg_e, nsample=2)
+    x = _eval_clip(trained, n_eval, b)
+
+    j_frames, diag = fns.gp_trigger(
+        trained.params, trained.stats, trained.cache, jnp.asarray(x),
+        jax.random.PRNGKey(5))
+    j_frames = np.asarray(j_frames)                # (n_eval, B, H, W, C)
+    j_vals = np.asarray(diag["values"])            # (n_eval-12, B)
+    j_trig = np.asarray(diag["triggers"])          # (n_eval-12, B)
+    j_warm = np.asarray(diag["warmup_values"])     # (12, B)
+
+    # ---- torch: verbatim GPtrigger_gen for index = 3 ----------------------
+    enc, dec, fp = trained.enc, trained.dec, trained.fp
+    gp, lik = trained.gp, trained.lik
+    g_dim = trained.cfg.g_dim
+    xt = _t_frames(x)
+
+    def generation(x_in, skip):                    # gf.py:221-225
+        h = enc(x_in)[0]
+        h_pred = fp(h)
+        return dec([h_pred, skip])
+
+    t_frames, t_vals, t_trig, t_thresh = [], [], [], []
+    with torch.no_grad():
+        fp.batch_size = b
+        fp.hidden = fp.init_hidden()
+        context = []
+        x_in = xt[0]
+        skip = None
+        for i in range(warmup):                    # gf.py:266-279
+            hh = enc(x_in)
+            if i < 5:
+                h, skip = hh
+            else:
+                h = hh[0]
+            value = _t_variance_norm(gp, lik, RSP._gp_in(h, g_dim, b))[3]
+            context.append(value)
+            x_out = generation(x_in, skip)
+            t_frames.append(_np_frame(x_out))
+            x_in = x_out
+        context = np.array(context)
+        t_warm_vals = context.copy()
+        first_fork = None
+        for i in range(warmup, n_eval):            # gf.py:283-299
+            h = enc(x_in)[0]
+            value = _t_variance_norm(gp, lik, RSP._gp_in(h, g_dim, b))[3]
+            context = np.concatenate([context[1:], [value]])
+            threshold = np.mean(context) + 2.01 * np.std(context)
+            t_vals.append(value)
+            t_thresh.append(threshold)
+            trig = bool(value > threshold)
+            t_trig.append(trig)
+            if trig:
+                if first_fork is None:
+                    first_fork = i
+                break          # frames diverge randomly past this point
+            x_out = generation(x_in, skip)         # fp advances ONLY here
+            t_frames.append(_np_frame(x_out))
+            x_in = x_out
+
+    # warmup: the rolling window's initial contents and the warmup frames.
+    # After the loop `context` has slid past the warmup values, so compare
+    # against the torch warmup list kept in t_warm_vals below.
+    t_warm_frames = np.array([t_frames[i][3] for i in range(warmup)])
+    np.testing.assert_allclose(
+        j_frames[:warmup, 3], t_warm_frames, atol=5e-3,
+        err_msg="warmup frames (row 3)")
+    np.testing.assert_allclose(j_warm[:, 3], t_warm_vals, rtol=5e-3,
+                               err_msg="warmup window values (row 3)")
+    n_cmp = len(t_vals)
+    np.testing.assert_allclose(j_vals[:n_cmp, 3], np.array(t_vals),
+                               rtol=5e-3, err_msg="variance-norm values")
+    np.testing.assert_array_equal(j_trig[:n_cmp, 3], np.array(t_trig),
+                                  err_msg="fork decisions")
+    # thresholds: recompute the JAX side's from its own values and compare
+    win = list(j_warm[:, 3])
+    for k in range(n_cmp):
+        win = win[1:] + [j_vals[k, 3]]
+        jt = np.mean(win) + 2.01 * np.std(win)
+        np.testing.assert_allclose(jt, t_thresh[k], rtol=5e-3,
+                                   err_msg=f"threshold at step {k}")
+    # deterministic frames up to the step before any fork
+    n_det = warmup + sum(1 for t in t_trig if not t)
+    if n_det > warmup:
+        np.testing.assert_allclose(
+            j_frames[warmup:n_det, 3], np.stack(t_frames[warmup:n_det])[:, 3],
+            atol=5e-3, err_msg="free-run frames (row 3)")
+
+
+# ===========================================================================
+# (d) the GP-grad leak, quantified
+# ===========================================================================
+
+def test_gp_grad_leak_quantified(ref):
+    """Two consecutive f64 batches: torch-with-leak (the reference's native
+    semantics) vs torch-without-leak (dvg_tpu's fixed semantics) from
+    identical weights. Batch 1 is leak-free by construction, so after batch
+    2 the encoder/decoder/LSTM parameters must be BITWISE identical and the
+    divergence confined to the GP optimizer group, at ~gp_lr scale. The
+    JAX step is then pinned against the leak-free run. Measured magnitudes
+    are recorded in PARITY.md."""
+    cfg = RSP.CFG
+    model, params, stats = RSP._jax_model(cfg)
+    params = RSP._perturb_gp(params)
+    x1 = RSP._clip(cfg, seed=11).astype(np.float64)
+    x2 = RSP._clip(cfg, seed=12).astype(np.float64)
+
+    prev_dt = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    try:
+        runs = {}
+        for leak in (True, False):
+            enc, dec, fp = RSP._verbatim_modules(ref, cfg, params, stats,
+                                                 "dcgan")
+            enc.double(), dec.double(), fp.double()
+            enc.train(), dec.train(), fp.train()
+            gp, lik = _gp_tensors(params, torch.float64)
+            tr = RefTrainer(enc, dec, fp, gp, lik, cfg, leak=leak)
+            tr.step(x1)
+            tr.step(x2)
+            runs[leak] = SimpleNamespace(
+                enc=IT.dcgan_encoder_t2j(enc)[0],
+                dec=IT.dcgan_decoder_t2j(dec)[0],
+                fp=IT.lstm_t2j(fp),
+                gp={k: v.detach().numpy() for k, v in gp.items()},
+                lik=lik["raw_noise"].detach().numpy())
+    finally:
+        torch.set_default_dtype(prev_dt)
+
+    leaky, clean = runs[True], runs[False]
+    # conv/LSTM groups: bitwise identical — the leak never touches them
+    # within two batches (pass-1 backward precedes every optimizer step)
+    for name in ("enc", "dec", "fp"):
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(a, b),
+            getattr(leaky, name), getattr(clean, name))
+
+    # GP group: diverges at ~gp_lr scale — quantify it
+    deltas = {k: float(np.abs(leaky.gp[k] - clean.gp[k]).max())
+              for k in leaky.gp}
+    deltas["raw_noise"] = float(np.abs(leaky.lik - clean.lik).max())
+    assert max(deltas.values()) > 1e-5, deltas      # the leak is real
+    assert max(deltas.values()) < 4 * cfg.gp_lr, deltas
+    print("GP-grad-leak deviation after 2 batches:", deltas)
+
+    # ---- JAX (fixed semantics) == torch-without-leak ----------------------
+    prev = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    try:
+        f64 = lambda tree: jax.tree.map(
+            lambda a: jnp.asarray(np.asarray(a, np.float64)), tree)
+        params64, stats64 = f64(params), f64(stats)
+        opts = make_optimizers(cfg)
+        groups = split_params(params64)
+        opt_states = {name: getattr(opts, name).init(groups[name])
+                      for name in groups}
+        state = S.TrainState(params64, stats64, opt_states,
+                             jnp.zeros((), jnp.int32))
+        step_fn = S.make_train_step_fn(model, cfg, opts)
+        state, _ = step_fn(state, jnp.asarray(x1))
+        state, _ = step_fn(state, jnp.asarray(x2))
+        j_params = jax.tree.map(np.asarray, state.params)
+    finally:
+        jax.config.update("jax_enable_x64", prev)
+
+    # two compounded Adam steps: noise-aware bounds (see round-3 lore —
+    # tight checks belong on losses; params get ~lr/20 drift budgets)
+    def close(jt, tt, atol):
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float64), np.asarray(b, np.float64),
+            rtol=1e-4, atol=atol), jt, tt)
+
+    close(j_params["encoder"], clean.enc, atol=2e-4)
+    close(j_params["decoder"], clean.dec, atol=2e-4)
+    close(j_params["frame_predictor"], clean.fp, atol=2e-4)
+    for k in j_params["gp"]:
+        np.testing.assert_allclose(j_params["gp"][k], clean.gp[k],
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=f"gp {k} vs clean torch")
