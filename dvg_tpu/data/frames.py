@@ -10,11 +10,15 @@ pure functions of (seed, index):
     contents. The reference's shard-scan early-``break`` at i==50 never
     fires (bair.py:23-28, `i` is never incremented) — behaviorally it scans
     everything, so we scan everything.
-  * **KTH** (kth.py:10-68): 6 action classes; per-split JSON metadata
-    ``{train,test}_meta<W>x<W>.json`` mapping class → list of
-    ``{"vid": ..., "files": [4 chunks of frame filenames], "n": count}``;
-    a random (class, video, chunk, start) window of ``seq_len`` grayscale
-    frames; returns ``(seq, class_id)``.
+  * **KTH** (kth.py:10-68): 6 action classes; per-split JSON metadata in
+    the reference's on-disk layout ``processed/<class>/{train,test}_meta
+    <W>x<W>.json`` (each a LIST of ``{"vid": ..., "files": [chunks of
+    frame filenames], "n": count}`` records — kth.py:28-30), with a
+    single-file ``<root>/{train,test}_meta<W>x<W>.json`` dict-of-classes
+    convenience layout also accepted; a random (class, video, chunk)
+    draw REJECTED while the chunk is shorter than ``seq_len``
+    (kth.py:37-44's ``while True`` loop), then a random start; returns
+    ``(seq, class_id)``.
   * **UCF** (ucf.py:10-73): same access pattern over 9 UCF-101 classes,
     RGB, metadata in the same JSON schema (the reference's torch-pickled
     ``*_meta64x64.pt`` files are regenerated as JSON by
@@ -131,6 +135,19 @@ class _MetaVideoDataset:
         return os.path.join(self.root, f"{split}_meta{w}x{w}.{ext}")
 
     def _load_meta(self, train: bool) -> Optional[dict]:
+        # Reference on-disk layout first (kth.py:28-30): one JSON list of
+        # records per class at processed/<class>/<split>_meta<W>x<W>.json.
+        split = "train" if train else "test"
+        w = self.image_size
+        per_class = {}
+        for c in self.classes:
+            p = os.path.join(self.root, "processed", c,
+                             f"{split}_meta{w}x{w}.json")
+            if os.path.exists(p):
+                with open(p) as f:
+                    per_class[c] = json.load(f)
+        if per_class:
+            return per_class
         jpath = self._meta_path(train, "json")
         if os.path.exists(jpath):
             with open(jpath) as f:
@@ -154,11 +171,18 @@ class _MetaVideoDataset:
                 f"metadata not found at {self._meta_path(self.train, 'json')}; "
                 "run dvg_tpu.data.convert.build_metadata after frame conversion")
         rng = np.random.default_rng((*self.seed, index))
-        cls_id = int(rng.integers(0, len(self.classes)))
-        cls = self.classes[cls_id]
-        vids = self.meta[cls]
-        rec = vids[int(rng.integers(0, len(vids)))]
-        chunk = rec["files"][int(rng.integers(0, len(rec["files"])))]
+        avail = [c for c in self.classes if c in self.meta]
+        # Reference kth.py:37-44 redraws (class, video, chunk) while the
+        # chunk is shorter than seq_len; bound the loop and fall back to
+        # right-padding if nothing fits (degenerate metadata only).
+        for _ in range(1000):
+            cls = avail[int(rng.integers(0, len(avail)))]
+            vids = self.meta[cls]
+            rec = vids[int(rng.integers(0, len(vids)))]
+            chunk = rec["files"][int(rng.integers(0, len(rec["files"])))]
+            if len(chunk) >= self.seq_len:
+                break
+        cls_id = self.classes.index(cls)
         if len(chunk) < self.seq_len:
             start = 0
             chunk = list(chunk) + [chunk[-1]] * (self.seq_len - len(chunk))

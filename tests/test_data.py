@@ -306,3 +306,90 @@ def test_loader_process_local_rows_match_global_batch(tmp_path, monkeypatch):
         monkeypatch.undo()
         got = np.concatenate(halves, axis=1)
         np.testing.assert_array_equal(got, full, err_msg=type(ds).__name__)
+
+
+REF_KTH_META = "/root/reference/data"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(REF_KTH_META, "train_meta64x64.json")),
+    reason="reference KTH metadata artifacts not on disk")
+def test_kth_reference_real_metadata(tmp_path):
+    """Drive the KTH loader with the reference's REAL experiment metadata
+    (/root/reference/data/{train,test}_meta64x64.json — the walking-class
+    train list and boxing-class test list), laid out exactly as the
+    reference reads them: processed/<class>/<split>_meta64x64.json
+    (kth.py:28-30). Every record is validated structurally, frames named
+    by the records are materialized as symlinks to one real PNG, and the
+    sampling law is asserted to honor {vid, files, n}: each drawn item is
+    a contiguous seq_len-window of ONE chunk of ONE real record.
+    (Match: /root/reference/data/kth.py:10-68.)"""
+    from PIL import Image
+
+    from dvg_tpu.data import frames as frames_mod
+
+    train_meta = json.load(
+        open(os.path.join(REF_KTH_META, "train_meta64x64.json")))
+    test_meta = json.load(
+        open(os.path.join(REF_KTH_META, "test_meta64x64.json")))
+    splits = {"walking": ("train", train_meta), "boxing": ("test", test_meta)}
+
+    # 1) every real record parses into the schema the loader relies on
+    for meta in (train_meta, test_meta):
+        assert isinstance(meta, list) and meta
+        for rec in meta:
+            assert set(rec) == {"vid", "files", "n"}
+            assert isinstance(rec["vid"], str)
+            assert all(isinstance(f, str)
+                       for ch in rec["files"] for f in ch)
+            assert rec["n"] == sum(len(ch) for ch in rec["files"])
+
+    # 2) reference on-disk layout + symlinked frames
+    root = str(tmp_path)
+    src = os.path.join(root, "frame.png")
+    Image.fromarray(np.full((64, 64), 128, np.uint8)).save(src)
+    for cls, (split, meta) in splits.items():
+        cdir = os.path.join(root, "processed", cls)
+        os.makedirs(cdir)
+        with open(os.path.join(cdir, f"{split}_meta64x64.json"), "w") as f:
+            json.dump(meta, f)
+        for rec in meta:
+            vdir = os.path.join(cdir, rec["vid"])
+            os.makedirs(vdir)
+            for ch in rec["files"]:
+                for fn in ch:
+                    p = os.path.join(vdir, fn)
+                    if not os.path.exists(p):
+                        os.symlink(src, p)
+
+    # 3) sampling honors the metadata: capture the exact paths requested
+    real_read = frames_mod._read_sequence
+    captured = []
+
+    def spy(paths, width, gray):
+        captured.append(list(paths))
+        return real_read(paths, width, gray)
+
+    frames_mod._read_sequence = spy
+    try:
+        for train, cls in ((True, "walking"), (False, "boxing")):
+            ds = KTH(train=train, data_root=root, seq_len=20, image_size=64)
+            assert set(ds.meta) == {cls}
+            byvid = {r["vid"]: r for r in splits[cls][1]}
+            for idx in range(12):
+                seq, cls_id = ds[idx]
+                assert seq.shape == (20, 64, 64, 1)
+                assert cls_id == KTH.classes.index(cls)
+                paths = captured[-1]
+                dirs = {os.path.dirname(p) for p in paths}
+                assert len(dirs) == 1
+                vid = os.path.basename(dirs.pop())
+                rec = byvid[vid]
+                names = [os.path.basename(p) for p in paths]
+                assert any(
+                    names == ch[s:s + 20]
+                    for ch in rec["files"]
+                    for s in range(max(1, len(ch) - 19))
+                ), f"{vid}: window not contiguous in any chunk"
+    finally:
+        frames_mod._read_sequence = real_read
