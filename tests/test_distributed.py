@@ -305,6 +305,143 @@ def test_two_process_sample_parallel_eval(tmp_path):
                 err_msg=f"{name} samples {start}..")
 
 
+EVAL2D_WORKER = """
+import sys, os
+sys.path.insert(0, {repo!r})
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+from dvg_tpu.parallel import (distributed_init, make_mesh, replicate_to_mesh,
+                              shard_diverse_rollout)
+assert distributed_init()
+assert jax.process_count() == 2 and jax.device_count() == 8
+from jax.sharding import NamedSharding, PartitionSpec as P
+from dvg_tpu.config import DVGConfig
+from dvg_tpu.models.dvg import DVGModel
+from dvg_tpu.generate.rollout import make_rollout_fns
+
+cfg = DVGConfig(dataset="smmnist", channels=1, image_width=64, batch_size=4,
+                n_past=2, n_future=10, n_eval=12, g_dim=8, rnn_size=16,
+                num_inducing_points=4, nsample=4)
+model = DVGModel(cfg)
+params, stats = model.init(jax.random.PRNGKey(0))
+cache = model.gp_cache(params)
+x_full = np.asarray(jax.random.uniform(jax.random.PRNGKey(1),
+                                       (12, 4, 64, 64, 1)))
+key = np.asarray(jax.random.PRNGKey(2))
+
+# 'data' leads so its axis IS the process boundary: row 0 = proc 0's devices
+mesh = make_mesh([("data", 2), ("sample", 4)])
+local_fns = make_rollout_fns(model, cfg, nsample=1)
+metrics_fn = shard_diverse_rollout(local_fns.diverse_metrics, mesh,
+                                   data_axis="data")
+# per-process rows of the global eval batch (NOT replicated): this process
+# owns global rows [2*pid, 2*pid+2) — row-offset noise meets process-local
+# feeding here
+pid = jax.process_index()
+x_local = x_full[:, 2 * pid:2 * pid + 2]
+xg = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P(None, "data")), x_local)
+params, stats, cache, keyg = replicate_to_mesh((params, stats, cache, key),
+                                               mesh)
+metrics_fn.lower(params, stats, cache, xg, keyg).compile()
+from jax._src import distributed as _dist
+_dist.global_state.client.wait_at_barrier("dvg_eval2d_precompile", 1200000)
+out = metrics_fn(params, stats, cache, xg, keyg)
+shards = {{}}
+for name, arr in out.items():
+    for s in arr.addressable_shards:
+        s0 = s.index[0].start or 0
+        s2 = s.index[2].start or 0
+        shards[f"{{name}}_{{s0}}_{{s2}}"] = np.asarray(s.data)
+np.savez(sys.argv[1], **shards)
+print("EVAL2D_WORKER_OK", jax.process_index())
+"""
+
+
+@pytest.mark.perf
+def test_two_process_2d_sample_data_mesh_eval(tmp_path):
+    """The one sharding combination a 1-D mesh test can't reach: a
+    ('data',2)x('sample',4) mesh across TWO processes where each process
+    feeds ONLY its own batch rows (make_array_from_process_local_data) AND
+    shards the sample sweep — global-row-id noise, row offsets, and
+    process-local feeding all at once. Every (sample, row) shard must equal
+    the single-process run of the same mesh program."""
+    port = _free_port()
+    script = str(tmp_path / "eval2d_worker.py")
+    with open(script, "w") as f:
+        f.write(EVAL2D_WORKER.format(repo=REPO))
+
+    procs, outs = [], []
+    for pid in range(2):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        flags = env.get("XLA_FLAGS", "")
+        if "device_count" not in flags:
+            flags += " --xla_force_host_platform_device_count=4"
+        else:
+            flags = flags.replace("device_count=8", "device_count=4")
+        env["XLA_FLAGS"] = flags.strip()
+        env["DVG_COORDINATOR"] = f"localhost:{port}"
+        env["DVG_NUM_PROCESSES"] = "2"
+        env["DVG_PROCESS_ID"] = str(pid)
+        out = str(tmp_path / f"eval2d_{pid}.npz")
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, script, out], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    for pid, p in enumerate(procs):
+        try:
+            log, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0 and "EVAL2D_WORKER_OK" in log, (
+            f"eval2d process {pid} failed:\n{log[-4000:]}")
+
+    # single-process reference: the SAME 2-D mesh program on this test
+    # process's own 8 devices
+    import jax
+
+    from dvg_tpu.config import DVGConfig
+    from dvg_tpu.generate.rollout import make_rollout_fns
+    from dvg_tpu.models.dvg import DVGModel
+    from dvg_tpu.parallel import make_mesh, shard_diverse_rollout
+
+    cfg = DVGConfig(dataset="smmnist", channels=1, image_width=64,
+                    batch_size=4, n_past=2, n_future=10, n_eval=12,
+                    g_dim=8, rnn_size=16, num_inducing_points=4, nsample=4)
+    model = DVGModel(cfg)
+    params, stats = model.init(jax.random.PRNGKey(0))
+    cache = model.gp_cache(params)
+    x = np.asarray(jax.random.uniform(jax.random.PRNGKey(1),
+                                      (12, 4, 64, 64, 1)))
+    key = np.asarray(jax.random.PRNGKey(2))
+    mesh = make_mesh([("data", 2), ("sample", 4)])
+    local_fns = make_rollout_fns(model, cfg, nsample=1)
+    metrics_fn = shard_diverse_rollout(local_fns.diverse_metrics, mesh,
+                                       data_axis="data")
+    ref = jax.tree.map(np.asarray,
+                       dict(metrics_fn(params, stats, cache, x, key)))
+
+    got = {}
+    for path in outs:
+        with np.load(path) as z:
+            got.update({k: z[k] for k in z.files})
+    # every (sample, row-shard) block from both processes matches
+    assert len([k for k in got if k.startswith("ssim_")]) == 8
+    for name in ("ssim", "psnr", "mse"):
+        for k, shard in got.items():
+            if not k.startswith(name + "_"):
+                continue
+            s0, s2 = (int(v) for v in k[len(name) + 1:].split("_"))
+            np.testing.assert_allclose(
+                shard, ref[name][s0:s0 + shard.shape[0], :,
+                                 s2:s2 + shard.shape[2]],
+                rtol=1e-5, atol=1e-6, err_msg=k)
+
+
 GEN_WORKER = """
 import sys, os
 sys.path.insert(0, {repo!r})
