@@ -31,9 +31,18 @@ from typing import Sequence
 def export_serving(model_dir: str, out_path: str, entry: str = "posterior",
                    nsample: int = None, batch_size: int = None,
                    n_eval: int = None, dtype: str = None,
-                   platforms: Sequence[str] = None) -> str:
+                   platforms: Sequence[str] = None,
+                   mesh_samples: int = 0) -> str:
     """Export one serving entry point of a checkpoint to `out_path`
-    (+ a .json sidecar with the geometry). Returns out_path."""
+    (+ a .json sidecar with the geometry). Returns out_path.
+
+    With `mesh_samples=N` (diverse_metrics only) the exported program is the
+    SHARDED rollout: a shard_map over an N-device ('sample',) mesh, each
+    device generating nsample/N futures with its own folded key
+    (parallel/mesh.py::shard_diverse_rollout). jax.export records the
+    device assignment, so the artifact must be loaded in a runtime with at
+    least N devices of the export platform; inputs are replicated by the
+    program itself (P() in_specs) — callers pass plain host arrays."""
     import jax
     import jax.numpy as jnp
     from jax import export as jax_export
@@ -68,10 +77,27 @@ def export_serving(model_dir: str, out_path: str, entry: str = "posterior",
          cfg.channels), jnp.float32)
     key_spec = jax.ShapeDtypeStruct((2,), jnp.uint32)
 
+    if mesh_samples and entry != "diverse_metrics":
+        raise ValueError("mesh_samples applies to the diverse_metrics entry")
+
     if entry == "posterior":
         def serving_fn(x):
             return fns.posterior(params, stats, cache, x)
         specs = (x_spec,)
+    elif entry == "diverse_metrics" and mesh_samples:
+        from dvg_tpu.parallel import make_mesh, shard_diverse_rollout
+
+        if cfg.nsample % mesh_samples:
+            raise ValueError(
+                f"nsample {cfg.nsample} not divisible by {mesh_samples}")
+        mesh = make_mesh([("sample", mesh_samples)])
+        local_fns = make_rollout_fns(
+            model, cfg, nsample=cfg.nsample // mesh_samples)
+        sharded = shard_diverse_rollout(local_fns.diverse_metrics, mesh)
+
+        def serving_fn(x, key):
+            return sharded(params, stats, cache, x, key)
+        specs = (x_spec, key_spec)
     elif entry == "diverse_metrics":
         def serving_fn(x, key):
             return fns.diverse_metrics(params, stats, cache, x, key)
@@ -94,6 +120,8 @@ def export_serving(model_dir: str, out_path: str, entry: str = "posterior",
         json.dump({"entry": entry, "config": cfg.to_dict(),
                    "platforms": list(exported.platforms),
                    "in_shapes": [list(s.shape) for s in specs],
+                   "mesh_samples": mesh_samples or None,
+                   "nr_devices": exported.nr_devices,
                    "bytes": len(blob)}, f, indent=1)
     return out_path
 
@@ -103,9 +131,36 @@ def load_serving(path: str):
     calling it jit-executes the deserialized StableHLO."""
     from jax import export as jax_export
 
+    import jax
+
     with open(path, "rb") as f:
         exported = jax_export.deserialize(f.read())
-    return exported.call
+    if exported.nr_devices <= 1:
+        # jit once: bare `exported.call` re-traces (and re-lowers the
+        # embedded StableHLO) on EVERY invocation — measured 3x the live-jit
+        # latency on TPU; under jit the custom call caches like any program
+        return jax.jit(exported.call)
+    # A sharded artifact (mesh_samples export) must run under the SAME
+    # device-assignment size it was exported for; commit replicated inputs
+    # to an nr_devices mesh so the call context matches (jax.export refuses
+    # a 1-device context for an N-device program).
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    if len(jax.devices()) < exported.nr_devices:
+        raise ValueError(
+            f"artifact was exported for {exported.nr_devices} devices; "
+            f"runtime has {len(jax.devices())}")
+    mesh = Mesh(np.asarray(jax.devices()[:exported.nr_devices]), ("serve",))
+    repl = NamedSharding(mesh, PartitionSpec())
+
+    jitted = jax.jit(exported.call)     # same retrace-per-call avoidance
+
+    def call(*args):
+        args = jax.tree.map(lambda a: jax.device_put(a, repl), args)
+        return jitted(*args)
+
+    return call
 
 
 def main(argv=None) -> int:
@@ -123,12 +178,16 @@ def main(argv=None) -> int:
     ap.add_argument("--dtype", default="")
     ap.add_argument("--platforms", default="",
                     help="comma list, e.g. tpu,cpu (default: current)")
+    ap.add_argument("--mesh_samples", type=int, default=0,
+                    help="export the N-device sample-sharded rollout "
+                         "(diverse_metrics only)")
     a = ap.parse_args(argv)
     out = export_serving(
         a.model_dir, a.out, entry=a.entry, nsample=a.nsample or None,
         batch_size=a.batch or None, n_eval=a.n_eval or None,
         dtype=a.dtype or None,
-        platforms=[p for p in a.platforms.split(",") if p] or None)
+        platforms=[p for p in a.platforms.split(",") if p] or None,
+        mesh_samples=a.mesh_samples)
     print("wrote", out)
     return 0
 

@@ -81,3 +81,51 @@ def test_export_diverse_metrics_roundtrip(ckpt_dir, tmp_path):
     for k in ref:
         np.testing.assert_allclose(got[k], ref[k], rtol=1e-5, atol=1e-6,
                                    err_msg=k)
+
+def test_export_sharded_diverse_metrics(ckpt_dir, tmp_path):
+    """mesh_samples=N exports the SHARDED rollout (shard_map over an
+    N-device ('sample',) mesh). The loaded artifact must equal a manual
+    per-device emulation: device d folds the key by d and generates
+    nsample/N futures; outputs concatenate over samples."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 devices")
+    out = str(tmp_path / "sharded.stablehlo")
+    export_serving(ckpt_dir, out, entry="diverse_metrics",
+                   nsample=4, batch_size=2, n_eval=12, mesh_samples=2)
+    side = json.load(open(out + ".json"))
+    assert side["mesh_samples"] == 2
+    assert side["nr_devices"] == 2
+
+    served = load_serving(out)
+    x = _x()
+    key = jax.random.PRNGKey(13)
+    got = jax.tree.map(np.asarray, served(x, key))
+    assert got["ssim"].shape == (4, 10, 2)
+
+    cfg = CFG.replace(nsample=4)
+    model = DVGModel(cfg)
+    from dvg_tpu.train import init_train_state as ITS, load_checkpoint
+    _, skeleton, _ = ITS(cfg, jax.random.PRNGKey(0))
+    _, state = load_checkpoint(os.path.join(ckpt_dir, "model.ckpt"),
+                               target_state=skeleton)
+    local_fns = make_rollout_fns(model, cfg, nsample=2)
+    emu = jax.jit(local_fns.diverse_metrics)
+    cache = model.gp_cache(state.params)
+    ref = {k: [] for k in ("ssim", "psnr", "mse")}
+    for d in range(2):
+        kd = jax.random.fold_in(key, d)
+        m = emu(state.params, state.stats, cache, x, kd)
+        for k in ref:
+            ref[k].append(np.asarray(m[k]))
+    for k in ref:
+        np.testing.assert_allclose(got[k], np.concatenate(ref[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+def test_export_sharded_rejects_bad_args(ckpt_dir, tmp_path):
+    with pytest.raises(ValueError, match="diverse_metrics"):
+        export_serving(ckpt_dir, str(tmp_path / "x.stablehlo"),
+                       entry="posterior", mesh_samples=2)
+    with pytest.raises(ValueError, match="not divisible"):
+        export_serving(ckpt_dir, str(tmp_path / "y.stablehlo"),
+                       entry="diverse_metrics", nsample=3, mesh_samples=2)
