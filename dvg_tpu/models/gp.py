@@ -336,7 +336,13 @@ def cached_rsample_fullcov(cache: GPCache, x, key) -> jnp.ndarray:
     cov = (kxx - jnp.einsum("dbm,dcm->dbc", a, a)
            + jnp.einsum("dbm,dcm->dbc", a_ls, a_ls))
     b = x.shape[1]
-    cov = cov + (cache.noise[:, None, None] + JITTER) * jnp.eye(b)
+    # f32 throughout the factorization: a bf16 Cholesky both loses digits
+    # and (via jnp.eye's float32 default) used to promote the whole tail of
+    # the rollout to f32, crashing bf16 serving (dtype-mismatched convs)
+    cov = (cov.astype(jnp.float32)
+           + (cache.noise.astype(jnp.float32)[:, None, None] + JITTER)
+           * jnp.eye(b, dtype=jnp.float32))
     l = jnp.linalg.cholesky(cov)
-    eps = jax.random.normal(key, mean.shape, mean.dtype)
-    return mean + jnp.einsum("dbc,dc->db", l, eps)
+    eps = jax.random.normal(key, mean.shape, jnp.float32)
+    return (mean.astype(jnp.float32)
+            + jnp.einsum("dbc,dc->db", l, eps)).astype(x.dtype)
