@@ -129,3 +129,32 @@ def test_export_sharded_rejects_bad_args(ckpt_dir, tmp_path):
     with pytest.raises(ValueError, match="not divisible"):
         export_serving(ckpt_dir, str(tmp_path / "y.stablehlo"),
                        entry="diverse_metrics", nsample=3, mesh_samples=2)
+
+
+def test_export_gp_trigger_roundtrip(ckpt_dir, tmp_path):
+    """The third serving entry (GPtrigger_gen, generate_frames.py:249-300)
+    roundtrips: exported frames AND trigger diagnostics equal the live
+    rollout."""
+    out = str(tmp_path / "trigger.stablehlo")
+    export_serving(ckpt_dir, out, entry="gp_trigger",
+                   batch_size=2, n_eval=12)
+    assert json.load(open(out + ".json"))["entry"] == "gp_trigger"
+    served = load_serving(out)
+    x = _x()
+    key = jax.random.PRNGKey(21)
+    g_frames, g_diag = served(x, key)
+
+    model = DVGModel(CFG)
+    from dvg_tpu.train import init_train_state as ITS, load_checkpoint
+    _, skeleton, _ = ITS(CFG, jax.random.PRNGKey(0))
+    _, state = load_checkpoint(os.path.join(ckpt_dir, "model.ckpt"),
+                               target_state=skeleton)
+    fns = make_rollout_fns(model, CFG, nsample=CFG.nsample)
+    r_frames, r_diag = fns.gp_trigger(state.params, state.stats,
+                                      model.gp_cache(state.params), x, key)
+    np.testing.assert_allclose(np.asarray(g_frames), np.asarray(r_frames),
+                               rtol=1e-5, atol=1e-6)
+    for k in r_diag:
+        np.testing.assert_allclose(np.asarray(g_diag[k]),
+                                   np.asarray(r_diag[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
