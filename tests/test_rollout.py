@@ -309,3 +309,30 @@ def test_full_cov_sampling_end_to_end(setup):
                                           base_keys, jnp.arange(3))
     np.testing.assert_allclose(np.asarray(re[0]), np.asarray(gen_fc[1]),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_full_cov_sampling_bfloat16(setup):
+    """The bf16 serving path with --full_cov: the f32 default of jnp.eye
+    used to promote the covariance — and the whole rollout tail — to f32,
+    crashing bf16 with dtype-mismatched convs (fixed in
+    gp.cached_rsample_fullcov: factorize f32, cast the sample back).
+    The bf16 rollout must run, stay finite, and track the f32 rollout."""
+    cfg, model, params, stats, cache, fns, x = setup
+    cfg_bf = cfg.replace(n_past=2, n_future=14, n_eval=16,
+                         full_cov_sampling=True, dtype="bfloat16")
+    fns_bf = make_rollout_fns(model, cfg_bf, nsample=3)
+    fns_f32 = make_rollout_fns(model, cfg_bf.replace(dtype="float32"),
+                               nsample=3)
+    x2 = jax.random.uniform(jax.random.PRNGKey(30), (16, 3, 64, 64, 1))
+    key = jax.random.PRNGKey(31)
+    met_bf = jax.tree.map(np.asarray,
+                          fns_bf.diverse_metrics(params, stats, cache,
+                                                 x2, key))
+    met_f32 = jax.tree.map(np.asarray,
+                           fns_f32.diverse_metrics(params, stats, cache,
+                                                   x2, key))
+    for k in met_bf:
+        assert np.isfinite(met_bf[k]).all(), k
+        # same keyed draws (eps is f32 both ways), bf16 compute tolerance
+        np.testing.assert_allclose(met_bf[k], met_f32[k],
+                                   rtol=0.1, atol=0.05, err_msg=k)
