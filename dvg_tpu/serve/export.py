@@ -32,17 +32,22 @@ def export_serving(model_dir: str, out_path: str, entry: str = "posterior",
                    nsample: int = None, batch_size: int = None,
                    n_eval: int = None, dtype: str = None,
                    platforms: Sequence[str] = None,
-                   mesh_samples: int = 0) -> str:
+                   mesh_samples: int = 0, mesh_data: int = 0) -> str:
     """Export one serving entry point of a checkpoint to `out_path`
     (+ a .json sidecar with the geometry). Returns out_path.
 
     With `mesh_samples=N` (diverse_metrics only) the exported program is the
     SHARDED rollout: a shard_map over an N-device ('sample',) mesh, each
     device generating nsample/N futures with its own folded key
-    (parallel/mesh.py::shard_diverse_rollout). jax.export records the
-    device assignment, so the artifact must be loaded in a runtime with at
-    least N devices of the export platform; inputs are replicated by the
-    program itself (P() in_specs) — callers pass plain host arrays."""
+    (parallel/mesh.py::shard_diverse_rollout). With `mesh_data=M` as well,
+    the mesh is 2-D ('sample',N)x('data',M): each device rolls out its
+    sample slice over batch/M rows, with the global row-offset threaded so
+    per-row noise stays a function of the GLOBAL row id (bit-comparable to
+    the unsharded program). jax.export records the device assignment, so
+    the artifact must be loaded in a runtime with at least N*M devices of
+    the export platform; callers pass plain host arrays — load_serving
+    commits them to the serving mesh (GSPMD reshards the batch onto the
+    'data' axis inside the program)."""
     import jax
     import jax.numpy as jnp
     from jax import export as jax_export
@@ -77,8 +82,12 @@ def export_serving(model_dir: str, out_path: str, entry: str = "posterior",
          cfg.channels), jnp.float32)
     key_spec = jax.ShapeDtypeStruct((2,), jnp.uint32)
 
-    if mesh_samples and entry != "diverse_metrics":
-        raise ValueError("mesh_samples applies to the diverse_metrics entry")
+    if (mesh_samples or mesh_data) and entry != "diverse_metrics":
+        raise ValueError(
+            "mesh_samples/mesh_data apply to the diverse_metrics entry")
+    if mesh_data and not mesh_samples:
+        raise ValueError("mesh_data requires mesh_samples (use "
+                         "mesh_samples=1 for a pure data-sharded export)")
 
     if entry == "posterior":
         def serving_fn(x):
@@ -90,10 +99,18 @@ def export_serving(model_dir: str, out_path: str, entry: str = "posterior",
         if cfg.nsample % mesh_samples:
             raise ValueError(
                 f"nsample {cfg.nsample} not divisible by {mesh_samples}")
-        mesh = make_mesh([("sample", mesh_samples)])
+        if mesh_data and cfg.batch_size % mesh_data:
+            raise ValueError(
+                f"batch {cfg.batch_size} not divisible by {mesh_data}")
+        axes = [("sample", mesh_samples)]
+        if mesh_data:
+            axes.append(("data", mesh_data))
+        mesh = make_mesh(axes)
         local_fns = make_rollout_fns(
             model, cfg, nsample=cfg.nsample // mesh_samples)
-        sharded = shard_diverse_rollout(local_fns.diverse_metrics, mesh)
+        sharded = shard_diverse_rollout(
+            local_fns.diverse_metrics, mesh,
+            data_axis="data" if mesh_data else None)
 
         def serving_fn(x, key):
             return sharded(params, stats, cache, x, key)
@@ -121,6 +138,7 @@ def export_serving(model_dir: str, out_path: str, entry: str = "posterior",
                    "platforms": list(exported.platforms),
                    "in_shapes": [list(s.shape) for s in specs],
                    "mesh_samples": mesh_samples or None,
+                   "mesh_data": mesh_data or None,
                    "nr_devices": exported.nr_devices,
                    "bytes": len(blob)}, f, indent=1)
     return out_path
@@ -181,13 +199,16 @@ def main(argv=None) -> int:
     ap.add_argument("--mesh_samples", type=int, default=0,
                     help="export the N-device sample-sharded rollout "
                          "(diverse_metrics only)")
+    ap.add_argument("--mesh_data", type=int, default=0,
+                    help="additionally shard batch rows over M devices — "
+                         "a 2-D ('sample',N)x('data',M) serving mesh")
     a = ap.parse_args(argv)
     out = export_serving(
         a.model_dir, a.out, entry=a.entry, nsample=a.nsample or None,
         batch_size=a.batch or None, n_eval=a.n_eval or None,
         dtype=a.dtype or None,
         platforms=[p for p in a.platforms.split(",") if p] or None,
-        mesh_samples=a.mesh_samples)
+        mesh_samples=a.mesh_samples, mesh_data=a.mesh_data)
     print("wrote", out)
     return 0
 

@@ -158,3 +158,57 @@ def test_export_gp_trigger_roundtrip(ckpt_dir, tmp_path):
         np.testing.assert_allclose(np.asarray(g_diag[k]),
                                    np.asarray(r_diag[k]),
                                    rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+def test_export_2d_mesh_diverse_metrics(ckpt_dir, tmp_path):
+    """mesh_samples=2 x mesh_data=2: the exported program shards futures
+    AND batch rows over a 2-D ('sample',2)x('data',2) mesh, threading each
+    shard's global row offset so per-row noise is a function of the GLOBAL
+    row id. The artifact must equal a per-(sample, data)-shard emulation
+    of the unsharded rollout."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 devices")
+    out = str(tmp_path / "mesh2d.stablehlo")
+    export_serving(ckpt_dir, out, entry="diverse_metrics",
+                   nsample=4, batch_size=2, n_eval=12,
+                   mesh_samples=2, mesh_data=2)
+    side = json.load(open(out + ".json"))
+    assert (side["mesh_samples"], side["mesh_data"],
+            side["nr_devices"]) == (2, 2, 4)
+
+    served = load_serving(out)
+    x = _x()
+    key = jax.random.PRNGKey(17)
+    got = jax.tree.map(np.asarray, served(x, key))
+    assert got["ssim"].shape == (4, 10, 2)
+
+    cfg = CFG.replace(nsample=4)
+    model = DVGModel(cfg)
+    from dvg_tpu.train import init_train_state as ITS, load_checkpoint
+    _, skeleton, _ = ITS(cfg, jax.random.PRNGKey(0))
+    _, state = load_checkpoint(os.path.join(ckpt_dir, "model.ckpt"),
+                               target_state=skeleton)
+    local_fns = make_rollout_fns(model, cfg, nsample=2)
+    emu = jax.jit(local_fns.diverse_metrics)
+    cache = model.gp_cache(state.params)
+    ref = {k: np.zeros_like(got[k]) for k in got}
+    for si in range(2):
+        ks = jax.random.fold_in(key, si)
+        for di in range(2):
+            xl = x[:, di:di + 1]
+            m = emu(state.params, state.stats, cache, xl, ks, di)
+            for k in ref:
+                ref[k][si * 2:(si + 1) * 2, :, di:di + 1] = np.asarray(m[k])
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], rtol=1e-5, atol=1e-6,
+                                   err_msg=k)
+
+
+def test_export_2d_mesh_rejects_bad_args(ckpt_dir, tmp_path):
+    with pytest.raises(ValueError, match="requires mesh_samples"):
+        export_serving(ckpt_dir, str(tmp_path / "z.stablehlo"),
+                       entry="diverse_metrics", mesh_data=2)
+    with pytest.raises(ValueError, match="not divisible"):
+        export_serving(ckpt_dir, str(tmp_path / "w.stablehlo"),
+                       entry="diverse_metrics", nsample=4, batch_size=3,
+                       mesh_samples=2, mesh_data=2)
