@@ -49,20 +49,10 @@ def _peak_flops_per_sec(device, dtype: str):
 
 
 def _sync(out):
-    """Settle `out` on the host before reading the clock.
+    """The shared tunnel-proof completion fence (see its docstring)."""
+    from dvg_tpu.utils.profiling import sync_fence
 
-    `jax.block_until_ready` alone is NOT a reliable fence on tunneled/proxy
-    device platforms (the axon tunnel acks enqueued work before the chip
-    finishes — a 66 ms train step "measured" 1.3 ms through it). Fetching
-    one scalar to the host is an unfakeable data dependency on the whole
-    dispatch chain; the extra device→host copy of a single element is
-    noise (< 0.1 ms) at every geometry benched here."""
-    import jax
-
-    jax.block_until_ready(out)
-    leaf = jax.tree.leaves(out)[0]
-    np.asarray(jax.numpy.ravel(leaf)[0])
-    return out
+    return sync_fence(out)
 
 
 def main() -> int:
@@ -384,7 +374,9 @@ def main() -> int:
             from dvg_tpu.serve import export_serving, load_serving
             from dvg_tpu.train.checkpoint import save_checkpoint
 
-            sv_sample, sv_batch, sv_neval = 20, batch, 35
+            # cap at the clip length actually benched so BENCH_NEVAL < 35
+            # quick runs still exercise the serve block instead of erroring
+            sv_sample, sv_batch, sv_neval = 20, batch, min(35, n_eval)
             scfg = cfg.replace(nsample=sv_sample, n_eval=sv_neval,
                                n_future=sv_neval - n_past)
             with tempfile.TemporaryDirectory() as td:

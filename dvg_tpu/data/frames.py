@@ -139,14 +139,25 @@ class _MetaVideoDataset:
         # records per class at processed/<class>/<split>_meta<W>x<W>.json.
         split = "train" if train else "test"
         w = self.image_size
-        per_class = {}
-        for c in self.classes:
-            p = os.path.join(self.root, "processed", c,
-                             f"{split}_meta{w}x{w}.json")
-            if os.path.exists(p):
+        paths = {c: os.path.join(self.root, "processed", c,
+                                 f"{split}_meta{w}x{w}.json")
+                 for c in self.classes}
+        found = {c: p for c, p in paths.items() if os.path.exists(p)}
+        if found:
+            # the reference (kth.py:28-30) opens every class file
+            # unconditionally and crashes on a missing one — a partial set
+            # would silently narrow the sampled class distribution
+            missing = [c for c in self.classes if c not in found]
+            if missing:
+                raise FileNotFoundError(
+                    f"per-class metadata present for {sorted(found)} but "
+                    f"missing for {missing} (expected e.g. "
+                    f"{paths[missing[0]]}); convert all classes or remove "
+                    "the partial layout")
+            per_class = {}
+            for c, p in found.items():
                 with open(p) as f:
                     per_class[c] = json.load(f)
-        if per_class:
             return per_class
         jpath = self._meta_path(train, "json")
         if os.path.exists(jpath):
@@ -172,6 +183,12 @@ class _MetaVideoDataset:
                 "run dvg_tpu.data.convert.build_metadata after frame conversion")
         rng = np.random.default_rng((*self.seed, index))
         avail = [c for c in self.classes if c in self.meta]
+        if not avail:
+            raise ValueError(
+                f"metadata classes {sorted(self.meta)} share no names with "
+                f"the expected {type(self).__name__} classes "
+                f"{list(self.classes)} — check class naming/casing in the "
+                "metadata file")
         # Reference kth.py:37-44 redraws (class, video, chunk) while the
         # chunk is shorter than seq_len; bound the loop and fall back to
         # right-padding if nothing fits (degenerate metadata only).

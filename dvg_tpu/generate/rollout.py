@@ -498,8 +498,15 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
             thresh = (jnp.mean(window, axis=0)
                       + 2.01 * jnp.std(window, axis=0))  # depth frozen at 1
             h_pred, hidden_new = model.predict_latent(params, hidden, h)
-            sample = model.from_gp_layout(
-                gp_mod.cached_rsample(cache, model.to_gp_layout(h), k))
+            # the reference's trigger branch draws the batch-correlated
+            # gpytorch .rsample() (generate_frames.py:292) — honor
+            # --full_cov here exactly as the diverse path does
+            if fc:
+                raw = gp_mod.cached_rsample_fullcov(
+                    cache, model.to_gp_layout(h), k)
+            else:
+                raw = gp_mod.cached_rsample(cache, model.to_gp_layout(h), k)
+            sample = model.from_gp_layout(raw)
             trig = (value > thresh)[:, None]             # (B, 1)
             latent = jnp.where(trig, sample, h_pred)
             # the reference's trigger branch (generate_frames.py:286-291)

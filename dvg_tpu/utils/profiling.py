@@ -49,6 +49,25 @@ class StepTimer:
         return min(self.times) if self.times else float("nan")
 
 
+def sync_fence(out):
+    """Settle `out` on the host before reading the clock.
+
+    `jax.block_until_ready` alone is NOT a reliable fence on tunneled/proxy
+    device platforms (the axon tunnel acks enqueued work before the chip
+    finishes — a 66 ms train step "measured" 1.3 ms through it). Fetching
+    one scalar to the host is an unfakeable data dependency on the whole
+    dispatch chain; the extra device→host copy of a single element is
+    noise (< 0.1 ms) at every geometry benched here. The single shared
+    fence for bench.py and scripts/roofline_bn.py — keep measurement
+    semantics identical across both."""
+    import numpy as np
+
+    jax.block_until_ready(out)
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(jax.numpy.ravel(leaf)[0])
+    return out
+
+
 @contextlib.contextmanager
 def trace_context(trace_dir: Optional[str] = None):
     """jax.profiler trace if trace_dir is set; no-op otherwise."""

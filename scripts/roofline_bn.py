@@ -37,10 +37,11 @@ DEC_MAPS = [(4, 4, 512), (8, 8, 256), (16, 16, 128), (32, 32, 64)]
 
 
 def _fetch(out):
-    # unfakeable completion fence (tunnel acks enqueues early)
-    jax.block_until_ready(out)
-    return float(np.asarray(jnp.ravel(jax.tree.leaves(out)[0])[0]
-                            .astype(jnp.float32)))
+    # the shared tunnel-proof completion fence
+    from dvg_tpu.utils.profiling import sync_fence
+
+    sync_fence(out)
+    return out
 
 
 def measure_hbm_bw(gib=2, reps=100):

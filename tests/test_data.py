@@ -316,14 +316,15 @@ REF_KTH_META = "/root/reference/data"
     reason="reference KTH metadata artifacts not on disk")
 def test_kth_reference_real_metadata(tmp_path):
     """Drive the KTH loader with the reference's REAL experiment metadata
-    (/root/reference/data/{train,test}_meta64x64.json — the walking-class
-    train list and boxing-class test list), laid out exactly as the
-    reference reads them: processed/<class>/<split>_meta64x64.json
-    (kth.py:28-30). Every record is validated structurally, frames named
-    by the records are materialized as symlinks to one real PNG, and the
-    sampling law is asserted to honor {vid, files, n}: each drawn item is
-    a contiguous seq_len-window of ONE chunk of ONE real record.
-    (Match: /root/reference/data/kth.py:10-68.)"""
+    (/root/reference/data/{train,test}_meta64x64.json), laid out exactly as
+    the reference reads them: processed/<class>/<split>_meta64x64.json for
+    EVERY class (kth.py:28-30 opens all six unconditionally — the loader is
+    equally strict, see test_kth_partial_class_layout_rejected). Every real
+    record is validated structurally, frames named by the records are
+    materialized as symlinks to one real PNG, and the sampling law is
+    asserted to honor {vid, files, n}: each drawn item is a contiguous
+    seq_len-window of ONE chunk of ONE real record, labelled by its class
+    row. (Match: /root/reference/data/kth.py:10-68.)"""
     from PIL import Image
 
     from dvg_tpu.data import frames as frames_mod
@@ -332,7 +333,6 @@ def test_kth_reference_real_metadata(tmp_path):
         open(os.path.join(REF_KTH_META, "train_meta64x64.json")))
     test_meta = json.load(
         open(os.path.join(REF_KTH_META, "test_meta64x64.json")))
-    splits = {"walking": ("train", train_meta), "boxing": ("test", test_meta)}
 
     # 1) every real record parses into the schema the loader relies on
     for meta in (train_meta, test_meta):
@@ -344,23 +344,26 @@ def test_kth_reference_real_metadata(tmp_path):
                        for ch in rec["files"] for f in ch)
             assert rec["n"] == sum(len(ch) for ch in rec["files"])
 
-    # 2) reference on-disk layout + symlinked frames
+    # 2) reference on-disk layout + symlinked frames: the real record
+    # lists under every class dir, as a fully converted dataset would have
     root = str(tmp_path)
     src = os.path.join(root, "frame.png")
     Image.fromarray(np.full((64, 64), 128, np.uint8)).save(src)
-    for cls, (split, meta) in splits.items():
-        cdir = os.path.join(root, "processed", cls)
-        os.makedirs(cdir)
-        with open(os.path.join(cdir, f"{split}_meta64x64.json"), "w") as f:
-            json.dump(meta, f)
-        for rec in meta:
-            vdir = os.path.join(cdir, rec["vid"])
-            os.makedirs(vdir)
-            for ch in rec["files"]:
-                for fn in ch:
-                    p = os.path.join(vdir, fn)
-                    if not os.path.exists(p):
-                        os.symlink(src, p)
+    for split, meta in (("train", train_meta), ("test", test_meta)):
+        for cls in KTH.classes:
+            cdir = os.path.join(root, "processed", cls)
+            os.makedirs(cdir, exist_ok=True)
+            with open(os.path.join(cdir, f"{split}_meta64x64.json"),
+                      "w") as f:
+                json.dump(meta, f)
+            for rec in meta:
+                vdir = os.path.join(cdir, rec["vid"])
+                os.makedirs(vdir, exist_ok=True)
+                for ch in rec["files"]:
+                    for fn in ch:
+                        p = os.path.join(vdir, fn)
+                        if not os.path.exists(p):
+                            os.symlink(src, p)
 
     # 3) sampling honors the metadata: capture the exact paths requested
     real_read = frames_mod._read_sequence
@@ -372,18 +375,22 @@ def test_kth_reference_real_metadata(tmp_path):
 
     frames_mod._read_sequence = spy
     try:
-        for train, cls in ((True, "walking"), (False, "boxing")):
+        for train, meta in ((True, train_meta), (False, test_meta)):
             ds = KTH(train=train, data_root=root, seq_len=20, image_size=64)
-            assert set(ds.meta) == {cls}
-            byvid = {r["vid"]: r for r in splits[cls][1]}
+            assert set(ds.meta) == set(KTH.classes)
+            byvid = {r["vid"]: r for r in meta}
+            drawn = set()
             for idx in range(12):
                 seq, cls_id = ds[idx]
                 assert seq.shape == (20, 64, 64, 1)
-                assert cls_id == KTH.classes.index(cls)
                 paths = captured[-1]
                 dirs = {os.path.dirname(p) for p in paths}
                 assert len(dirs) == 1
-                vid = os.path.basename(dirs.pop())
+                vdir = dirs.pop()
+                vid = os.path.basename(vdir)
+                cls = os.path.basename(os.path.dirname(vdir))
+                drawn.add(cls)
+                assert cls_id == KTH.classes.index(cls)
                 rec = byvid[vid]
                 names = [os.path.basename(p) for p in paths]
                 assert any(
@@ -391,5 +398,30 @@ def test_kth_reference_real_metadata(tmp_path):
                     for ch in rec["files"]
                     for s in range(max(1, len(ch) - 19))
                 ), f"{vid}: window not contiguous in any chunk"
+            assert len(drawn) > 1, "class draw must span classes"
     finally:
         frames_mod._read_sequence = real_read
+
+
+def test_kth_partial_class_layout_rejected(tmp_path):
+    """A per-class layout covering only SOME classes is an error, not a
+    silently narrowed class distribution — the reference (kth.py:28-30)
+    opens every class file unconditionally and crashes on a missing one."""
+    cdir = os.path.join(str(tmp_path), "processed", "walking")
+    os.makedirs(cdir)
+    with open(os.path.join(cdir, "train_meta64x64.json"), "w") as f:
+        json.dump([{"vid": "v", "files": [["0.png"]], "n": 1}], f)
+    with pytest.raises(FileNotFoundError, match="missing for"):
+        KTH(train=True, data_root=str(tmp_path), seq_len=5, image_size=64)
+
+
+def test_kth_foreign_class_names_rejected(tmp_path):
+    """Single-file metadata whose class keys share no names with the KTH
+    class table must fail loudly at first sample, not KeyError later."""
+    with open(os.path.join(str(tmp_path), "train_meta64x64.json"),
+              "w") as f:
+        json.dump({"Biking": [{"vid": "v", "files": [["0.png"]],
+                               "n": 1}]}, f)
+    ds = KTH(train=True, data_root=str(tmp_path), seq_len=5, image_size=64)
+    with pytest.raises(ValueError, match="share no names"):
+        ds[0]

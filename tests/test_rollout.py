@@ -311,6 +311,33 @@ def test_full_cov_sampling_end_to_end(setup):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_gp_trigger_full_cov_untriggered_identity(setup):
+    """--full_cov reaches the GP-trigger scan (the reference's trigger
+    branch draws the batch-correlated .rsample(), generate_frames.py:292).
+    At init-scale weights no trigger ever fires (seed-swept), so both laws
+    must produce IDENTICAL frames and diagnostics — the correlated branch
+    must not perturb the untriggered path (guards dtype-promotion
+    regressions like the bf16 jnp.eye bug). The firing path is pinned on
+    trained weights in test_trained_model_parity.py::
+    test_trained_gp_trigger_full_cov_wiring."""
+    cfg, model, params, stats, cache, fns, x = setup
+    cfg3 = DVGConfig(dataset="smmnist", channels=1, image_width=64,
+                     batch_size=2, n_past=2, n_future=13, n_eval=15,
+                     g_dim=8, rnn_size=16, num_inducing_points=4)
+    fns_mg = make_rollout_fns(model, cfg3, nsample=2)
+    fns_fc = make_rollout_fns(model, cfg3.replace(full_cov_sampling=True),
+                              nsample=2)
+    x3 = jax.random.uniform(jax.random.PRNGKey(31), (15, 2, 64, 64, 1))
+    key = jax.random.PRNGKey(32)
+    fr_mg, d_mg = fns_mg.gp_trigger(params, stats, cache, x3, key)
+    fr_fc, d_fc = fns_fc.gp_trigger(params, stats, cache, x3, key)
+    assert not np.asarray(d_mg["triggers"]).any()
+    np.testing.assert_array_equal(np.asarray(d_fc["triggers"]),
+                                  np.asarray(d_mg["triggers"]))
+    np.testing.assert_allclose(np.asarray(fr_fc), np.asarray(fr_mg),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_full_cov_sampling_bfloat16(setup):
     """The bf16 serving path with --full_cov: the f32 default of jnp.eye
     used to promote the covariance — and the whole rollout tail — to f32,

@@ -591,6 +591,81 @@ def test_trained_gp_trigger_verbatim_parity(trained):
             atol=5e-3, err_msg="free-run frames (row 3)")
 
 
+def test_trained_gp_trigger_full_cov_wiring(trained):
+    """--full_cov must reach the TRIGGER branch too: the reference's
+    trigger draw is the batch-correlated gpytorch `.rsample()`
+    (generate_frames.py:292), same law as the diverse fork. Triggers never
+    fire at init-scale weights, so this runs on the trained model:
+
+      * both sampling laws produce identical frames and identical fork
+        decisions up to each row's first trigger;
+      * at a row's first trigger the frames diverge (different law);
+      * white-box replay: the full-cov run's frame at the first trigger
+        equals decode(from_gp_layout(cached_rsample_fullcov(h))) with the
+        scan's own step key — the exact correlated draw, not merely "some
+        different sample".
+    """
+    from dvg_tpu.models import gp as G
+
+    n_eval, b, warmup = 40, 8, 12
+    cfg_fc = trained.cfg2.replace(n_past=2, n_eval=n_eval,
+                                  n_future=n_eval - 2, batch_size=b,
+                                  dtype="float32", full_cov_sampling=True)
+    fns_fc = make_rollout_fns(trained.model, cfg_fc, nsample=2)
+    fns_mg = make_rollout_fns(trained.model,
+                              cfg_fc.replace(full_cov_sampling=False),
+                              nsample=2)
+    x = jnp.asarray(_eval_clip(trained, n_eval, b))
+    key = jax.random.PRNGKey(5)
+    args = (trained.params, trained.stats, trained.cache, x, key)
+    fr_fc, d_fc = fns_fc.gp_trigger(*args)
+    fr_mg, d_mg = fns_mg.gp_trigger(*args)
+    fr_fc, fr_mg = np.asarray(fr_fc), np.asarray(fr_mg)
+    trig = np.asarray(d_mg["triggers"])              # (n_eval-12, B)
+    assert trig.any(), "premise: trained model must fire >= 1 trigger"
+
+    # decisions and frames are per-row independent (eval-mode encode/decode,
+    # per-row window); compare each row up to ITS first trigger
+    first = np.where(trig.any(axis=0), trig.argmax(axis=0), trig.shape[0])
+    for r in range(b):
+        s = int(first[r])
+        np.testing.assert_allclose(
+            fr_fc[:warmup + s, r], fr_mg[:warmup + s, r],
+            rtol=1e-5, atol=1e-6,
+            err_msg=f"row {r} pre-trigger frames must be law-independent")
+        np.testing.assert_array_equal(
+            np.asarray(d_fc["triggers"])[:s + 1, r], trig[:s + 1, r],
+            err_msg=f"row {r} fork decisions up to its first trigger")
+        if s < trig.shape[0]:
+            assert np.abs(fr_fc[warmup + s, r]
+                          - fr_mg[warmup + s, r]).max() > 1e-6, (
+                f"row {r}: correlated and marginal draws decoded "
+                "identically at its first trigger")
+
+    # ---- white-box replay of the globally first trigger step --------------
+    s0 = int(first.min())                   # premise guarantees s0 in range
+    rows = np.where(trig[s0])[0]
+    assert len(rows) > 0
+    model, params, stats, cache = (trained.model, trained.params,
+                                   trained.stats, trained.cache)
+    # skip frozen from the warmup's i<5 encodes: last update encodes fr[3]
+    (_, skip), _ = model.encode(params, stats, jnp.asarray(fr_fc[3]),
+                                train=False)
+    h, _ = model.encode(params, stats, jnp.asarray(fr_fc[warmup + s0 - 1]),
+                        train=False)[0]
+    keys = jax.random.split(key, n_eval)
+    # triggered rows decode the GP draw directly (hidden-independent), so
+    # only those rows are pinned; non-triggered rows would need the carried
+    # LSTM hidden
+    sample = model.from_gp_layout(G.cached_rsample_fullcov(
+        cache, model.to_gp_layout(h), keys[warmup + s0]))
+    frame, _ = model.decode(params, stats, sample, skip, train=False)
+    np.testing.assert_allclose(
+        fr_fc[warmup + s0, rows], np.asarray(frame)[rows],
+        rtol=1e-4, atol=1e-5,
+        err_msg="full-cov trigger frame != decode(cached_rsample_fullcov)")
+
+
 # ===========================================================================
 # (d) the GP-grad leak, quantified
 # ===========================================================================
