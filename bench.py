@@ -55,51 +55,21 @@ def _sync(out):
     return sync_fence(out)
 
 
-def main() -> int:
+def _measure_train(width: int, model_name: str, dtype: str) -> dict:
+    """The full 3-pass training step (joint + LSTM-ft + GP-ft) at the
+    reference's training geometry: batch 50, n_past 5, n_future 10."""
     import jax
     import jax.numpy as jnp
 
-    import dvg_tpu
-    dvg_tpu.enable_compilation_cache()
-
     from dvg_tpu.config import DVGConfig
-    from dvg_tpu.generate.rollout import make_rollout_fns
-    from dvg_tpu.models.dvg import DVGModel
-
-    nsample = int(os.environ.get("BENCH_SAMPLES", 100))
-    batch = int(os.environ.get("BENCH_BATCH", 50))
-    n_eval = int(os.environ.get("BENCH_NEVAL", 105))
-    n_past = 5
-
-    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
-    model_name = os.environ.get("BENCH_MODEL", "dcgan")   # dcgan | vgg
-    width = int(os.environ.get("BENCH_WIDTH", 64))        # 64 | 128
-    cfg = DVGConfig(dataset="bair", channels=3, image_width=width,
-                    batch_size=batch, n_past=n_past,
-                    n_future=n_eval - n_past, n_eval=n_eval,
-                    model=model_name, nsample=nsample, dtype=dtype,
-                    use_pallas=use_pallas)
-    model = DVGModel(cfg)
-    key = jax.random.PRNGKey(0)
-    params, stats = model.init(key)
-    cache = model.gp_cache(params)
-    fns = make_rollout_fns(model, cfg, nsample=nsample)
-
-    # synthetic context clip (content does not affect throughput)
-    x = jax.random.uniform(jax.random.PRNGKey(1),
-                           (n_eval, batch, width, width, 3), jnp.float32)
-    x = jax.device_put(x)
-
-    # ---- train step ---------------------------------------------------------
-    # the full 3-pass training step (joint + LSTM-ft + GP-ft) at the
-    # reference's training geometry: batch 50, n_past 5, n_future 10
     from dvg_tpu.train.step import init_train_state, make_train_step_fn
 
     # 128-px training needs rematerialized conv sweeps to fit HBM (same as
     # the CLI's --remat); batch scales down like the reference's 128 runs
+    tbatch = int(os.environ.get("BENCH_TRAIN_BATCH",
+                                50 if width == 64 else 8))
     tcfg = DVGConfig(dataset="bair", channels=3, image_width=width,
-                     batch_size=50 if width == 64 else 8,
+                     batch_size=tbatch,
                      n_past=5, n_future=10, n_eval=15,
                      model=model_name, dtype=dtype, remat=(width > 64))
     tmodel, tstate, topts = init_train_state(tcfg, jax.random.PRNGKey(4))
@@ -114,7 +84,8 @@ def main() -> int:
     # the host→device dispatch round-trip to every step). Best of 3
     # windows: the tunnel's host-side enqueue latency wanders by several
     # ms run-to-run; the min is the device's actual sustained rate.
-    reps_t, train_step_ms = 10, float("inf")
+    reps_t = int(os.environ.get("BENCH_TRAIN_REPS", 10))
+    train_step_ms = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(reps_t):
@@ -140,12 +111,82 @@ def main() -> int:
             train_tflops = tflops / 1e12
     except Exception:
         pass
+    return {"train_step_ms": train_step_ms, "train_mfu": train_mfu,
+            "train_tflops": train_tflops}
 
 
-    # (train step measured before the rollout floods HBM; NB a lean
-    # process measures the same executable at ~66 ms vs ~69-72 ms inside
-    # this full bench — unattributed process-state sensitivity through
-    # the tunnel, documented in PERF.md)
+def main() -> int:
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    model_name = os.environ.get("BENCH_MODEL", "dcgan")   # dcgan | vgg
+    width = int(os.environ.get("BENCH_WIDTH", 64))        # 64 | 128
+
+    if os.environ.get("BENCH_PHASE") == "train":
+        # child mode: measure ONLY the train step and print one JSON line
+        import dvg_tpu
+        dvg_tpu.enable_compilation_cache()
+        print(json.dumps(_measure_train(width, model_name, dtype)))
+        return 0
+
+    # ---- train step (lean subprocess) ---------------------------------------
+    # the SAME train-step executable reproducibly measures ~66 ms in a lean
+    # process but 69-72 ms inside this full bench process (enqueue cost and
+    # HBM-pressure ordering both ruled out — PERF.md). Measure it in a child
+    # process spawned BEFORE this process dials the (single-tenant) TPU, so
+    # BENCH_r*.json carries the honest device number; fall back to an
+    # in-process measurement if the child fails for any reason.
+    train_res = None
+    if os.environ.get("BENCH_TRAIN_SUBPROCESS", "1") == "1":
+        import subprocess
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=dict(os.environ, BENCH_PHASE="train"),
+                capture_output=True, text=True, timeout=1200)
+            train_res = json.loads(p.stdout.strip().splitlines()[-1])
+        except Exception:
+            train_res = None
+
+    import jax
+    import jax.numpy as jnp
+
+    import dvg_tpu
+    dvg_tpu.enable_compilation_cache()
+
+    from dvg_tpu.config import DVGConfig
+    from dvg_tpu.generate.rollout import make_rollout_fns
+    from dvg_tpu.models.dvg import DVGModel
+
+    nsample = int(os.environ.get("BENCH_SAMPLES", 100))
+    batch = int(os.environ.get("BENCH_BATCH", 50))
+    n_eval = int(os.environ.get("BENCH_NEVAL", 105))
+    n_past = 5
+
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+    cfg = DVGConfig(dataset="bair", channels=3, image_width=width,
+                    batch_size=batch, n_past=n_past,
+                    n_future=n_eval - n_past, n_eval=n_eval,
+                    model=model_name, nsample=nsample, dtype=dtype,
+                    use_pallas=use_pallas)
+    model = DVGModel(cfg)
+    key = jax.random.PRNGKey(0)
+    params, stats = model.init(key)
+    cache = model.gp_cache(params)
+    fns = make_rollout_fns(model, cfg, nsample=nsample)
+
+    # synthetic context clip (content does not affect throughput)
+    x = jax.random.uniform(jax.random.PRNGKey(1),
+                           (n_eval, batch, width, width, 3), jnp.float32)
+    x = jax.device_put(x)
+
+    if train_res is None:
+        train_res = _measure_train(width, model_name, dtype)
+        train_res["train_note_process"] = "in-process fallback (child failed)"
+    train_step_ms = float(train_res["train_step_ms"])
+    train_mfu = train_res.get("train_mfu")
+    train_tflops = train_res.get("train_tflops")
+
+    from dvg_tpu.train.step import init_train_state, make_train_step_fn
+
     # the full eval protocol: all futures + in-scan SSIM/PSNR on device
     metrics_fn = jax.jit(fns.diverse_metrics)
     out = metrics_fn(params, stats, cache, x, jax.random.PRNGKey(2))
@@ -449,10 +490,15 @@ def main() -> int:
             "serial_note": ("both serial denominators are per-program "
                             "DISPATCH-bound on this tunneled chip (~5-9 ms "
                             "per one-frame program vs ~0.3 ms of device "
-                            "work), so vs_baseline is a FLOOR on the "
-                            "architectural advantage of the merged-batch "
-                            "scan; on directly-attached hardware the gap "
-                            "is larger"),
+                            "work), which INFLATES vs_baseline relative to "
+                            "directly-attached hardware; the emulation is "
+                            "simultaneously generous to the reference "
+                            "(jitted XLA one-frame programs stand in for "
+                            "eager torch + gpytorch CG + per-frame "
+                            ".cpu() syncs). vs_baseline is therefore the "
+                            "dispatch-amortization advantage measured on "
+                            "THIS setup, not a hardware-independent bound "
+                            "in either direction"),
             "train_step_ms": round(train_step_ms, 2),
             "train_mfu": (round(train_mfu, 4)
                           if train_mfu is not None else None),
@@ -461,7 +507,10 @@ def main() -> int:
             "train_note": ("train_mfu divides by CURRENT step FLOPs; the "
                            "grouped decoder cut FLOPs ~32% in r3 so the "
                            "ratio fell while the step got FASTER — "
-                           "train_step_ms is the honest metric (PERF.md)"),
+                           "train_step_ms is the honest metric (PERF.md); "
+                           "measured in a lean child process"
+                           + (" [" + train_res["train_note_process"] + "]"
+                              if "train_note_process" in train_res else "")),
             "variants": variants or None,
             "serve": serve or None,
             "mfu": round(mfu, 4) if mfu is not None else None,

@@ -182,13 +182,22 @@ class _MetaVideoDataset:
                 f"metadata not found at {self._meta_path(self.train, 'json')}; "
                 "run dvg_tpu.data.convert.build_metadata after frame conversion")
         rng = np.random.default_rng((*self.seed, index))
-        avail = [c for c in self.classes if c in self.meta]
+        avail = [c for c in self.classes if self.meta.get(c)]
         if not avail:
             raise ValueError(
                 f"metadata classes {sorted(self.meta)} share no names with "
                 f"the expected {type(self).__name__} classes "
-                f"{list(self.classes)} — check class naming/casing in the "
-                "metadata file")
+                f"{list(self.classes)} (or all record lists are empty) — "
+                "check class naming/casing in the metadata file")
+        if len(avail) != len(self.classes):
+            # a partial class set silently narrows the sampled distribution
+            # (same failure mode the per-class layout rejects above); the
+            # reference crashes here too — randint over an empty record
+            # list (kth.py:38)
+            bad = [c for c in self.classes if not self.meta.get(c)]
+            raise ValueError(
+                f"metadata has records for {avail} but none for {bad} — "
+                "convert every class or restrict the dataset's `classes`")
         # Reference kth.py:37-44 redraws (class, video, chunk) while the
         # chunk is shorter than seq_len; bound the loop and fall back to
         # right-padding if nothing fits (degenerate metadata only).

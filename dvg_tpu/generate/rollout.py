@@ -114,7 +114,7 @@ def _free_run(model: DVGModel, params, stats, cache: gp_mod.GPCache,
               gp_mean_mode: bool, gt=None, row_ids=None,
               use_pallas: bool = False, metric: str = "skimage",
               refresh_skip: bool = False, full_cov: bool = False,
-              pair_keys: bool = False):
+              pair_keys: bool = False, cache_fc: gp_mod.GPCache = None):
     """Closed-loop rollout for n_steps frames.
 
     fork_mask: (n_steps,) bool — steps that decode a GP sample of gp(h).
@@ -166,7 +166,8 @@ def _free_run(model: DVGModel, params, stats, cache: gp_mod.GPCache,
                     cache, model.to_gp_layout(h), key, row_ids)
             elif full_cov:
                 sample = gp_mod.cached_rsample_fullcov(
-                    cache, model.to_gp_layout(h), key)
+                    cache_fc if cache_fc is not None else cache,
+                    model.to_gp_layout(h), key)
             else:
                 sample = gp_mod.cached_rsample(cache, model.to_gp_layout(h),
                                                key, row_ids=row_ids)
@@ -222,9 +223,17 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
 
     def prep(params, stats, cache):
         """Entry-point preamble: fold eval-mode BN into the conv weights
-        (f32 math), then cast everything to the rollout compute dtype."""
+        (f32 math), then cast everything to the rollout compute dtype.
+
+        Also returns the UNCAST (f32) cache: the batch-correlated draw
+        (--full_cov) must factorize a covariance assembled from f32-
+        consistent GP parameters — a bf16-rounded cache makes w/v2
+        inconsistent with the kernel, the cancellation kxx − a·aᵀ leaves
+        residuals above noise+jitter, and the (D,B,B) Cholesky goes NaN
+        (models/gp.py::cached_rsample_fullcov). The marginal hot path keeps
+        the cast cache (its variance is clamped, bf16-safe)."""
         params = model.fold_inference_params(params, stats)
-        return cast_tree(params), cast_tree(stats), cast_tree(cache)
+        return cast_tree(params), cast_tree(stats), cast_tree(cache), cache
 
     # fork schedules over free-run steps i = n_past..n_eval-1
     steps = np.arange(n_past, n_eval)
@@ -233,7 +242,7 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
     no_fork = jnp.zeros((n_free,), bool)
 
     def posterior(params, stats, cache, x):
-        params, stats, cache = prep(params, stats, cache)
+        params, stats, cache, _ = prep(params, stats, cache)
         x = x.astype(dtype)
         hidden, skip, x_in = _context_phase(model, params, stats, x, n_past)
         keys = jax.random.split(jax.random.PRNGKey(0), n_free)  # unused
@@ -244,7 +253,7 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
                                axis=0).astype(jnp.float32)
 
     def _sampled(params, stats, cache, x, key, fork_mask, s, row_ids=None):
-        params, stats, cache = prep(params, stats, cache)
+        params, stats, cache, cache_fc = prep(params, stats, cache)
         x = x.astype(dtype)
         hidden, skip, x_in = _context_phase(model, params, stats, x, n_past)
         rows = (jnp.arange(x.shape[1]) if row_ids is None
@@ -255,7 +264,7 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
             return _free_run(model, params, stats, cache, hidden, skip, x_in,
                              n_free, fork_mask, keys, gp_mean_mode=False,
                              row_ids=rows, refresh_skip=refresh,
-                             full_cov=fc)
+                             full_cov=fc, cache_fc=cache_fc)
 
         frames = jax.vmap(one)(jax.random.split(key, s))  # (S, n_free, B,...)
         ctx = jnp.broadcast_to(x[None, :n_past], (s,) + x[:n_past].shape)
@@ -282,7 +291,7 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
         `diverse_select` re-rolls scored futures with plain global ids."""
         gt = x[n_past:n_eval].astype(jnp.float32)   # metrics vs f32 truth
         metric = getattr(cfg, "eval_metric", "skimage")
-        params, stats, cache = prep(params, stats, cache)
+        params, stats, cache, cache_fc = prep(params, stats, cache)
         x = x.astype(dtype)
         hidden_b, skip_b, x_in_b = _context_phase(model, params, stats, x,
                                                   n_past)
@@ -363,7 +372,7 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
             def samp(k_s, h_s):
                 if fc:     # reference-exact correlated draw, key-only
                     y = gp_mod.cached_rsample_fullcov(
-                        cache, model.to_gp_layout(h_s), k_s)
+                        cache_fc, model.to_gp_layout(h_s), k_s)
                 else:
                     y = gp_mod.cached_rsample(cache, model.to_gp_layout(h_s),
                                               k_s, row_ids=rows)
@@ -393,7 +402,7 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
 
     def _sampled_with_keys(params, stats, cache, x, sample_keys, fork_mask,
                            row_ids):
-        params, stats, cache = prep(params, stats, cache)
+        params, stats, cache, cache_fc = prep(params, stats, cache)
         x = x.astype(dtype)
         hidden, skip, x_in = _context_phase(model, params, stats, x, n_past)
         rows = jnp.asarray(row_ids)
@@ -403,7 +412,7 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
             return _free_run(model, params, stats, cache, hidden, skip, x_in,
                              n_free, fork_mask, keys, gp_mean_mode=False,
                              row_ids=rows, refresh_skip=refresh,
-                             full_cov=fc)
+                             full_cov=fc, cache_fc=cache_fc)
 
         frames = jax.vmap(one)(sample_keys)
         k = sample_keys.shape[0]
@@ -430,7 +439,7 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
         noise derivation are batch-position independent, so column k
         reproduces exactly what (sample, row) saw in diverse_metrics.
         Replaces the per-pair host loop of dispatches (K jit calls → 1)."""
-        params, stats, cache = prep(params, stats, cache)
+        params, stats, cache, _ = prep(params, stats, cache)
         x_sel = x_sel.astype(dtype)
         hidden, skip, x_in = _context_phase(model, params, stats, x_sel,
                                             n_past)
@@ -451,7 +460,7 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
     total = n_eval                                      # 105 by default
 
     def gp_trigger(params, stats, cache, x, key):
-        params, stats, cache = prep(params, stats, cache)
+        params, stats, cache, cache_fc = prep(params, stats, cache)
         x = x.astype(dtype)
         b = x.shape[1]
 
@@ -503,7 +512,7 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
             # --full_cov here exactly as the diverse path does
             if fc:
                 raw = gp_mod.cached_rsample_fullcov(
-                    cache, model.to_gp_layout(h), k)
+                    cache_fc, model.to_gp_layout(h), k)
             else:
                 raw = gp_mod.cached_rsample(cache, model.to_gp_layout(h), k)
             sample = model.from_gp_layout(raw)

@@ -323,26 +323,36 @@ def cached_rsample_fullcov(cache: GPCache, x, key) -> jnp.ndarray:
     rows. Numerically equal to `rsample(params, lik, x, key, full_cov=True)`
     for the cache built from the same params (tested in tests/test_gp.py).
     Costs a (D, B, B) Cholesky per call — the `--full_cov` parity knob, not
-    the default hot path (batch rows are independent videos; see rsample)."""
-    diff = x[..., :, 0][..., :, None] - cache.z[..., :, 0][..., None, :]
-    kxz = cache.outputscale[:, None, None] * jnp.exp(
-        -0.5 * (diff / cache.lengthscale[:, None, None]) ** 2)   # (D,B,M)
-    a = jnp.einsum("dbm,dmn->dbn", kxz, cache.w)
-    mean = cache.mean_const[:, None] + jnp.einsum("dbm,dm->db", kxz, cache.v1)
-    a_ls = jnp.einsum("dbm,dmn->dbn", kxz, cache.v2)
-    xdiff = x[..., :, 0][..., :, None] - x[..., :, 0][..., None, :]
-    kxx = cache.outputscale[:, None, None] * jnp.exp(
-        -0.5 * (xdiff / cache.lengthscale[:, None, None]) ** 2)  # (D,B,B)
+    the default hot path (batch rows are independent videos; see rsample).
+
+    The whole covariance path runs in f32 FROM THE INPUTS, not just the
+    factorization: cov = kxx − a·aᵀ + a_ls·a_lsᵀ is a catastrophic
+    cancellation (kxx ≈ a·aᵀ near the inducing set), so assembling it in
+    bf16 loses the digits before any later cast can recover them — the
+    residual can exceed noise+jitter, turning cov indefinite and the
+    Cholesky NaN. Computed in f32 from the (possibly bf16-rounded) inputs
+    the formula is the exact posterior covariance of a GP with those
+    inputs, PSD by construction. f32 also avoids jnp.eye's dtype-default
+    promoting the rollout tail (the bf16-serving crash this fixed)."""
+    f32 = jnp.float32
+    xf = x.astype(f32)
+    outputscale = cache.outputscale.astype(f32)
+    lengthscale = cache.lengthscale.astype(f32)
+    diff = xf[..., :, 0][..., :, None] - cache.z.astype(f32)[..., :, 0][..., None, :]
+    kxz = outputscale[:, None, None] * jnp.exp(
+        -0.5 * (diff / lengthscale[:, None, None]) ** 2)         # (D,B,M)
+    a = jnp.einsum("dbm,dmn->dbn", kxz, cache.w.astype(f32))
+    mean = (cache.mean_const.astype(f32)[:, None]
+            + jnp.einsum("dbm,dm->db", kxz, cache.v1.astype(f32)))
+    a_ls = jnp.einsum("dbm,dmn->dbn", kxz, cache.v2.astype(f32))
+    xdiff = xf[..., :, 0][..., :, None] - xf[..., :, 0][..., None, :]
+    kxx = outputscale[:, None, None] * jnp.exp(
+        -0.5 * (xdiff / lengthscale[:, None, None]) ** 2)        # (D,B,B)
     cov = (kxx - jnp.einsum("dbm,dcm->dbc", a, a)
            + jnp.einsum("dbm,dcm->dbc", a_ls, a_ls))
     b = x.shape[1]
-    # f32 throughout the factorization: a bf16 Cholesky both loses digits
-    # and (via jnp.eye's float32 default) used to promote the whole tail of
-    # the rollout to f32, crashing bf16 serving (dtype-mismatched convs)
-    cov = (cov.astype(jnp.float32)
-           + (cache.noise.astype(jnp.float32)[:, None, None] + JITTER)
-           * jnp.eye(b, dtype=jnp.float32))
+    cov = cov + ((cache.noise.astype(f32)[:, None, None] + JITTER)
+                 * jnp.eye(b, dtype=f32))
     l = jnp.linalg.cholesky(cov)
-    eps = jax.random.normal(key, mean.shape, jnp.float32)
-    return (mean.astype(jnp.float32)
-            + jnp.einsum("dbc,dc->db", l, eps)).astype(x.dtype)
+    eps = jax.random.normal(key, mean.shape, f32)
+    return (mean + jnp.einsum("dbc,dc->db", l, eps)).astype(x.dtype)

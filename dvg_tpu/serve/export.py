@@ -88,6 +88,14 @@ def export_serving(model_dir: str, out_path: str, entry: str = "posterior",
     if mesh_data and not mesh_samples:
         raise ValueError("mesh_data requires mesh_samples (use "
                          "mesh_samples=1 for a pure data-sharded export)")
+    if mesh_data and mesh_data > 1 and cfg.full_cov_sampling:
+        # same refusal as the generation CLI: full_cov correlates the GP
+        # draw across the WHOLE batch (generate_frames.py:170); sharding
+        # rows over devices would silently correlate only within each shard
+        raise ValueError(
+            "full_cov_sampling checkpoints cannot be exported with "
+            "mesh_data > 1 — the batch-correlated draw would silently "
+            "correlate only within each data shard")
 
     if entry == "posterior":
         def serving_fn(x):
@@ -171,12 +179,24 @@ def load_serving(path: str):
             f"runtime has {len(jax.devices())}")
     mesh = Mesh(np.asarray(jax.devices()[:exported.nr_devices]), ("serve",))
     repl = NamedSharding(mesh, PartitionSpec())
+    try:
+        # commit each input with the sharding the program was EXPORTED
+        # with (a mesh_data export shards the batch rows — blanket
+        # replication would move nr_devices x the bytes every call)
+        in_sh = [s if s is not None else repl
+                 for s in exported.in_shardings_jax(mesh)]
+    except Exception:
+        in_sh = None
 
     jitted = jax.jit(exported.call)     # same retrace-per-call avoidance
 
     def call(*args):
-        args = jax.tree.map(lambda a: jax.device_put(a, repl), args)
-        return jitted(*args)
+        flat, tree = jax.tree.flatten(args)
+        if in_sh is not None and len(in_sh) == len(flat):
+            flat = [jax.device_put(a, s) for a, s in zip(flat, in_sh)]
+        else:
+            flat = [jax.device_put(a, repl) for a in flat]
+        return jitted(*jax.tree.unflatten(tree, flat))
 
     return call
 

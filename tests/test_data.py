@@ -415,6 +415,22 @@ def test_kth_partial_class_layout_rejected(tmp_path):
         KTH(train=True, data_root=str(tmp_path), seq_len=5, image_size=64)
 
 
+def test_kth_partial_single_file_metadata_rejected(tmp_path):
+    """Single-file metadata covering only SOME classes (or with empty
+    record lists) must also fail loudly — same silently-narrowed-
+    distribution failure mode as the per-class layout; the reference
+    crashes here too (randint over an empty record list, kth.py:38)."""
+    meta = {c: [{"vid": "v", "files": [["0.png"] * 9], "n": 9}]
+            for c in KTH.classes[:4]}
+    meta[KTH.classes[4]] = []         # present but empty = still missing
+    with open(os.path.join(str(tmp_path), "train_meta64x64.json"),
+              "w") as f:
+        json.dump(meta, f)
+    ds = KTH(train=True, data_root=str(tmp_path), seq_len=5, image_size=64)
+    with pytest.raises(ValueError, match="none for"):
+        ds[0]
+
+
 def test_kth_foreign_class_names_rejected(tmp_path):
     """Single-file metadata whose class keys share no names with the KTH
     class table must fail loudly at first sample, not KeyError later."""

@@ -174,3 +174,32 @@ def test_cached_fullcov_matches_params_rsample():
     # matrices; the Cholesky amplifies the ~1e-7 cov noise a few-fold
     np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                rtol=1e-4, atol=5e-6)
+
+
+def test_cached_fullcov_bf16_inputs_survive_cancellation():
+    """cov = kxx − a·aᵀ + a_ls·a_lsᵀ cancels catastrophically when the
+    eval points sit on the inducing set with a large outputscale and tiny
+    noise. The rollout contract is: bf16 INPUTS (latents) against the f32
+    cache — the whole covariance path upcasts to f32, stays PSD, and
+    tracks the all-f32 draw. (A bf16-ROUNDED cache is unfixable — rounding
+    w/v2 makes them inconsistent with the kernel and the residual exceeds
+    noise+jitter, which is why rollout.py's prep feeds the fullcov branch
+    the uncast cache; verified NaN when this test was written.)"""
+    d, m, b = 4, 16, 8
+    p = G.gp_init(jax.random.PRNGKey(1), d, m)
+    p["raw_outputscale"] = jnp.full((d,), 25.0)       # outputscale ≈ 25
+    p["var_chol"] = 0.05 * p["var_chol"]              # tiny posterior var
+    p["var_mean"] = 0.3 * jax.random.normal(jax.random.PRNGKey(2), (d, m))
+    lik = {"raw_noise": jnp.full((d,), -12.0)}        # noise ≈ 6e-6
+    cache = G.build_cache(p, lik)
+    x = cache.z[:, :b]                                # exactly on inducing
+    key = jax.random.PRNGKey(0)
+    s32 = G.cached_rsample_fullcov(cache, x, key)
+    assert bool(jnp.isfinite(s32).all())
+    s_bf = G.cached_rsample_fullcov(cache, x.astype(jnp.bfloat16), key)
+    assert s_bf.dtype == jnp.bfloat16
+    assert bool(jnp.isfinite(s_bf).all()), (
+        "bf16-input fullcov draw went NaN — covariance path not f32")
+    # the draw itself matches the f32 route to bf16-rounding accuracy
+    np.testing.assert_allclose(np.asarray(s_bf.astype(jnp.float32)),
+                               np.asarray(s32), rtol=0.05, atol=0.05)

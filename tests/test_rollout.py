@@ -363,3 +363,34 @@ def test_full_cov_sampling_bfloat16(setup):
         # same keyed draws (eps is f32 both ways), bf16 compute tolerance
         np.testing.assert_allclose(met_bf[k], met_f32[k],
                                    rtol=0.1, atol=0.05, err_msg=k)
+
+
+def test_full_cov_bf16_uses_f32_cache(setup, monkeypatch):
+    """The bf16 rollout must feed the FULL-COV draw the uncast f32 cache:
+    a bf16-rounded cache makes w/v2 inconsistent with the kernel, the
+    kxx − a·aᵀ cancellation leaves residuals above noise+jitter, and the
+    (D,B,B) Cholesky goes NaN on trained-scale GPs (see
+    tests/test_gp.py::test_cached_fullcov_bf16_inputs_survive_cancellation).
+    Recorded at trace time in both the diverse scan and the trigger scan."""
+    from dvg_tpu.models import gp as G
+
+    cfg, model, params, stats, cache, fns, x = setup
+    seen = []
+    real = G.cached_rsample_fullcov
+
+    def spy(cache_in, xin, key):
+        seen.append((cache_in.w.dtype, xin.dtype))
+        return real(cache_in, xin, key)
+
+    monkeypatch.setattr(G, "cached_rsample_fullcov", spy)
+    cfg_bf = cfg.replace(n_past=2, n_future=14, n_eval=16,
+                         full_cov_sampling=True, dtype="bfloat16")
+    fns_bf = make_rollout_fns(model, cfg_bf, nsample=2)
+    x2 = jax.random.uniform(jax.random.PRNGKey(30), (16, 3, 64, 64, 1))
+    key = jax.random.PRNGKey(31)
+    fns_bf.diverse_metrics(params, stats, cache, x2, key)
+    fns_bf.gp_trigger(params, stats, cache, x2, key)
+    assert seen, "full-cov branch never reached"
+    for cache_dtype, x_dtype in seen:
+        assert cache_dtype == jnp.float32, "fullcov got the CAST cache"
+        assert x_dtype == jnp.bfloat16      # latents stay in compute dtype

@@ -131,6 +131,25 @@ def test_export_sharded_rejects_bad_args(ckpt_dir, tmp_path):
                        entry="diverse_metrics", nsample=3, mesh_samples=2)
 
 
+def test_export_full_cov_rejects_mesh_data(tmp_path):
+    """A full_cov checkpoint must refuse a mesh_data>1 export — the same
+    guard the generation CLI applies: sharding batch rows would silently
+    correlate the 'batch-correlated' draw only within each shard."""
+    d = str(tmp_path / "model_fc")
+    cfg_fc = CFG.replace(full_cov_sampling=True)
+    _, state, _ = init_train_state(cfg_fc, jax.random.PRNGKey(0))
+    save_checkpoint(d, cfg_fc, state)
+    with pytest.raises(ValueError, match="full_cov"):
+        export_serving(d, str(tmp_path / "z.stablehlo"),
+                       entry="diverse_metrics", nsample=4, batch_size=2,
+                       mesh_samples=2, mesh_data=2)
+    # sample-only sharding of a full_cov checkpoint stays legal
+    out = export_serving(d, str(tmp_path / "ok.stablehlo"),
+                         entry="diverse_metrics", nsample=4, batch_size=2,
+                         n_eval=12, mesh_samples=2)
+    assert os.path.getsize(out) > 0
+
+
 def test_export_gp_trigger_roundtrip(ckpt_dir, tmp_path):
     """The third serving entry (GPtrigger_gen, generate_frames.py:249-300)
     roundtrips: exported frames AND trigger diagnostics equal the live
