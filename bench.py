@@ -185,8 +185,6 @@ def main() -> int:
     train_mfu = train_res.get("train_mfu")
     train_tflops = train_res.get("train_tflops")
 
-    from dvg_tpu.train.step import init_train_state, make_train_step_fn
-
     # the full eval protocol: all futures + in-scan SSIM/PSNR on device
     metrics_fn = jax.jit(fns.diverse_metrics)
     out = metrics_fn(params, stats, cache, x, jax.random.PRNGKey(2))
@@ -363,22 +361,13 @@ def main() -> int:
             return round(vsample * (vneval - n_past) * vbatch / vdt, 1)
 
         def _variant_train(vmodel, vwidth, vdtype):
-            vcfg = DVGConfig(dataset="bair", channels=3, image_width=vwidth,
-                             batch_size=50 if vwidth == 64 else 8,
-                             n_past=5, n_future=10, n_eval=15, model=vmodel,
-                             dtype=vdtype, remat=(vwidth > 64))
-            vm, vst, vopt = init_train_state(vcfg, jax.random.PRNGKey(4))
-            vstep = jax.jit(make_train_step_fn(vm, vcfg, vopt))
-            vx = jax.random.uniform(
-                jax.random.PRNGKey(5),
-                (15, vcfg.batch_size, vwidth, vwidth, 3), jnp.float32)
-            vst, _ = vstep(vst, vx)
-            _sync(vst.params)
-            t0 = time.perf_counter()
-            for _ in range(5):
-                vst, _ = vstep(vst, vx)
-            _sync(vst.params)
-            return round((time.perf_counter() - t0) / 5 * 1000.0, 2)
+            # same recipe as the headline train_step_ms (_measure_train:
+            # best of 3 pipelined windows of BENCH_TRAIN_REPS) so variant
+            # deltas are methodology-comparable; runs in-process (the
+            # fault-isolated cell), which the tunnel biases a few ms high
+            # uniformly across variants (PERF.md)
+            return round(_measure_train(vwidth, vmodel,
+                                        vdtype)["train_step_ms"], 2)
 
         cells = [
             ("vgg128_bf16_fps",

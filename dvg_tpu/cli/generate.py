@@ -113,12 +113,9 @@ def main(argv=None) -> int:
                       use_pallas=use_pallas,
                       full_cov_sampling=args.full_cov,
                       eval_metric="finn" if args.finn else "skimage")
-    if args.full_cov and args.mesh_data > 1:
-        raise SystemExit(
-            "--full_cov correlates the GP draw across the WHOLE eval batch "
-            "(generate_frames.py:170); sharding batch rows over devices "
-            "(--mesh_data > 1) would silently correlate only within each "
-            "shard — drop one of the two flags")
+    # NB --full_cov with --mesh_data>1 is rejected by
+    # parallel/mesh.py::shard_diverse_rollout (the guard lives at the
+    # mechanism so library callers are covered too, not just the CLI)
     if args.override_n_eval:
         cfg = cfg.replace(n_eval=args.override_n_eval,
                           n_future=args.override_n_eval - cfg.n_past)
@@ -169,7 +166,8 @@ def main(argv=None) -> int:
             data_axis = None
         local_fns = make_rollout_fns(model, cfg, nsample=s_local)
         metrics_fn = shard_diverse_rollout(local_fns.diverse_metrics, mesh,
-                                           data_axis=data_axis)
+                                           data_axis=data_axis,
+                                           full_cov=cfg.full_cov_sampling)
         s_local_for_keys = s_local
         if jax.process_count() > 1:
             # multi-process eval: the mesh spans every process's devices

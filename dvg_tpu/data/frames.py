@@ -205,10 +205,22 @@ class _MetaVideoDataset:
             cls = avail[int(rng.integers(0, len(avail)))]
             vids = self.meta[cls]
             rec = vids[int(rng.integers(0, len(vids)))]
+            if not rec.get("files"):
+                # surface the loader's own diagnostic instead of numpy's
+                # opaque "low >= high" from randint over an empty list
+                raise ValueError(
+                    f"metadata record {rec.get('vid')!r} in class {cls!r} "
+                    "has an empty 'files' list — rebuild the metadata for "
+                    "that video (dvg_tpu.data.convert.build_metadata)")
             chunk = rec["files"][int(rng.integers(0, len(rec["files"])))]
             if len(chunk) >= self.seq_len:
                 break
         cls_id = self.classes.index(cls)
+        if not chunk:
+            raise ValueError(
+                f"metadata record {rec.get('vid')!r} in class {cls!r} "
+                "contains an empty frame chunk — rebuild the metadata for "
+                "that video (dvg_tpu.data.convert.build_metadata)")
         if len(chunk) < self.seq_len:
             start = 0
             chunk = list(chunk) + [chunk[-1]] * (self.seq_len - len(chunk))

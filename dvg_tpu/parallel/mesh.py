@@ -73,7 +73,8 @@ def shard_train_step(step_fn, mesh: Mesh, batch_axis: str = "data"):
 
 def shard_diverse_rollout(metrics_fn, mesh: Mesh,
                           sample_axis: str = "sample",
-                          data_axis: str = None):
+                          data_axis: str = None,
+                          full_cov: bool = False):
     """Sample-parallel diverse eval: wrap a per-device
     (params, stats, cache, x, key) -> {"ssim","psnr","mse": (S_local, T, B)}
     metrics rollout in a shard_map over `sample_axis`. Each device generates
@@ -86,8 +87,21 @@ def shard_diverse_rollout(metrics_fn, mesh: Mesh,
     S_local futures of B_local rows. The shard's global row start is passed
     as the rollout's `row_offset` so per-row noise stays a function of the
     GLOBAL row id — `diverse_select` re-rolls any scored future from
-    (sample-device, global row) alone, independent of the data layout."""
+    (sample-device, global row) alone, independent of the data layout.
+
+    Pass `full_cov=cfg.full_cov_sampling`: the batch-correlated GP draw
+    (generate_frames.py:170) is defined over the WHOLE eval batch, so
+    sharding rows over `data_axis` would silently correlate only within
+    each shard — the guard lives here, at the mechanism that creates the
+    hazard, so every caller (CLI, serving export, library use) is covered."""
     from jax import shard_map
+
+    if full_cov and data_axis is not None and mesh.shape[data_axis] > 1:
+        raise ValueError(
+            "full_cov_sampling correlates the GP draw across the WHOLE "
+            "eval batch (generate_frames.py:170); sharding batch rows over "
+            f"'{data_axis}' would silently correlate only within each "
+            "shard — use a pure sample-parallel mesh or disable full_cov")
 
     def local(params, stats, cache, x, key):
         key = jax.random.fold_in(key, jax.lax.axis_index(sample_axis))

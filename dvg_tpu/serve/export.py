@@ -88,14 +88,8 @@ def export_serving(model_dir: str, out_path: str, entry: str = "posterior",
     if mesh_data and not mesh_samples:
         raise ValueError("mesh_data requires mesh_samples (use "
                          "mesh_samples=1 for a pure data-sharded export)")
-    if mesh_data and mesh_data > 1 and cfg.full_cov_sampling:
-        # same refusal as the generation CLI: full_cov correlates the GP
-        # draw across the WHOLE batch (generate_frames.py:170); sharding
-        # rows over devices would silently correlate only within each shard
-        raise ValueError(
-            "full_cov_sampling checkpoints cannot be exported with "
-            "mesh_data > 1 — the batch-correlated draw would silently "
-            "correlate only within each data shard")
+    # NB full_cov_sampling with mesh_data>1 is rejected below by
+    # parallel/mesh.py::shard_diverse_rollout (guard lives at the mechanism)
 
     if entry == "posterior":
         def serving_fn(x):
@@ -118,7 +112,8 @@ def export_serving(model_dir: str, out_path: str, entry: str = "posterior",
             model, cfg, nsample=cfg.nsample // mesh_samples)
         sharded = shard_diverse_rollout(
             local_fns.diverse_metrics, mesh,
-            data_axis="data" if mesh_data else None)
+            data_axis="data" if mesh_data else None,
+            full_cov=cfg.full_cov_sampling)
 
         def serving_fn(x, key):
             return sharded(params, stats, cache, x, key)
@@ -185,7 +180,13 @@ def load_serving(path: str):
         # replication would move nr_devices x the bytes every call)
         in_sh = [s if s is not None else repl
                  for s in exported.in_shardings_jax(mesh)]
-    except Exception:
+    except Exception as e:
+        import warnings
+        warnings.warn(
+            "load_serving: could not recover the artifact's input "
+            f"shardings ({e!r}); falling back to replicating every input — "
+            "a mesh_data artifact will move nr_devices x the batch bytes "
+            "per call")
         in_sh = None
 
     jitted = jax.jit(exported.call)     # same retrace-per-call avoidance

@@ -55,16 +55,25 @@ def sync_fence(out):
     `jax.block_until_ready` alone is NOT a reliable fence on tunneled/proxy
     device platforms (the axon tunnel acks enqueued work before the chip
     finishes — a 66 ms train step "measured" 1.3 ms through it). Fetching
-    one scalar to the host is an unfakeable data dependency on the whole
-    dispatch chain; the extra device→host copy of a single element is
-    noise (< 0.1 ms) at every geometry benched here. The single shared
+    a scalar to the host is an unfakeable data dependency on the dispatch
+    chain; the extra device→host copy of a single element is noise
+    (< 0.1 ms) at every geometry benched here. When `out` spans MULTIPLE
+    dispatched programs (e.g. a `(live, artifact)` tuple), one leaf's
+    scalar only fences that leaf's program — so combine one element of
+    EVERY leaf into a single on-device scalar first (one tiny dispatch
+    that depends on all of them), then fetch once. The single shared
     fence for bench.py and scripts/roofline_bn.py — keep measurement
     semantics identical across both."""
     import numpy as np
 
+    jnp = jax.numpy
     jax.block_until_ready(out)
-    leaf = jax.tree.leaves(out)[0]
-    np.asarray(jax.numpy.ravel(leaf)[0])
+    leaves = jax.tree.leaves(out)
+    probe = jnp.ravel(leaves[0])[0]
+    for leaf in leaves[1:]:
+        probe = probe.astype(jnp.float32) + jnp.ravel(leaf)[0].astype(
+            jnp.float32)
+    np.asarray(probe)
     return out
 
 

@@ -441,3 +441,23 @@ def test_kth_foreign_class_names_rejected(tmp_path):
     ds = KTH(train=True, data_root=str(tmp_path), seq_len=5, image_size=64)
     with pytest.raises(ValueError, match="share no names"):
         ds[0]
+
+
+def test_kth_empty_files_record_diagnostic(tmp_path):
+    """A record with an empty 'files' list (or an empty chunk) must raise
+    the loader's own diagnostic naming the video, not numpy's opaque
+    'low >= high' from randint over an empty list."""
+    meta = {c: [{"vid": f"{c}_v", "files": [["0.png"] * 9], "n": 9}]
+            for c in KTH.classes}
+    meta[KTH.classes[0]] = [{"vid": "broken_vid", "files": [], "n": 0}]
+    with open(os.path.join(str(tmp_path), "train_meta64x64.json"),
+              "w") as f:
+        json.dump(meta, f)
+    ds = KTH(train=True, data_root=str(tmp_path), seq_len=5, image_size=64)
+    # draw until the broken class is hit (class choice is index-seeded)
+    with pytest.raises(ValueError, match="broken_vid"):
+        for i in range(64):
+            try:
+                ds[i]
+            except FileNotFoundError:   # healthy classes: PNGs don't exist
+                continue

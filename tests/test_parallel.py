@@ -172,3 +172,22 @@ def test_2d_sample_data_mesh_layout_invariant(tiny):
                                         :, d_dev * b_local:
                                         (d_dev + 1) * b_local]),
                 np.asarray(ref["ssim"]), rtol=1e-5, atol=1e-6)
+
+
+def test_shard_diverse_rollout_full_cov_rejects_data_sharding():
+    """The full_cov guard lives at the MECHANISM (shard_diverse_rollout),
+    so library callers — not just the CLI/export — cannot silently
+    restrict the batch-correlated GP draw (generate_frames.py:170) to a
+    data shard. A pure sample mesh (or data axis of size 1) stays legal."""
+    mesh = make_mesh([("sample", 2), ("data", 4)])
+    with pytest.raises(ValueError, match="full_cov"):
+        shard_diverse_rollout(lambda *a: None, mesh, data_axis="data",
+                              full_cov=True)
+    # size-1 data axis carries the whole batch — legal
+    m1 = make_mesh([("sample", 8), ("data", 1)])
+    shard_diverse_rollout(lambda *a: None, m1, data_axis="data",
+                          full_cov=True)
+    # pure sample-parallel full_cov is legal (each device draws over the
+    # full batch)
+    m2 = make_mesh([("sample", 8)])
+    shard_diverse_rollout(lambda *a: None, m2, full_cov=True)

@@ -97,3 +97,21 @@ def test_step_timer_and_trace_context(tmp_path):
     with trace_context(d):
         jnp.sum(jnp.arange(8)).block_until_ready()
     assert os.path.isdir(d)           # trace dump written
+
+
+def test_sync_fence_spans_multiple_programs():
+    """sync_fence must depend on EVERY leaf: a (live, artifact) tuple spans
+    two dispatched programs, and fencing only the first leaf would let the
+    second program's work bleed into the next timing window on tunneled
+    platforms (bench.py's serve block). Also: mixed dtypes must combine."""
+    import jax
+    import jax.numpy as jnp
+
+    from dvg_tpu.utils.profiling import sync_fence
+
+    a = jnp.ones((4, 3)) * 2.0
+    b = (jnp.arange(6, dtype=jnp.bfloat16), jnp.zeros((2,), jnp.int32))
+    out = sync_fence((a, b))
+    assert out[0] is a and out[1] is b        # passthrough, not a copy
+    single = sync_fence(a)                    # 1-leaf fast path
+    assert single is a
