@@ -115,10 +115,37 @@ def _measure_train(width: int, model_name: str, dtype: str) -> dict:
             "train_tflops": train_tflops}
 
 
+def _arm_watchdog():
+    """Emit a diagnostic JSON line and exit instead of hanging forever.
+
+    The tunneled TPU's dial can wedge across sessions (every backend call
+    blocks with no timeout of its own — observed repeatedly on this box);
+    without a watchdog a wedged bench produces NO output for the driver to
+    record. 50 min is ~3x the longest observed cold-cache full run;
+    override with BENCH_WATCHDOG_MIN (0 disables)."""
+    import threading
+
+    mins = float(os.environ.get("BENCH_WATCHDOG_MIN", "50"))
+    if mins <= 0:
+        return
+    def fire():
+        print(json.dumps({
+            "metric": "frames_per_sec_per_chip", "value": None,
+            "unit": "frames/sec", "vs_baseline": None,
+            "error": (f"bench watchdog fired after {mins:g} min — the TPU "
+                      "dial/compile never returned (tunnel likely wedged); "
+                      "no measurement was possible")}), flush=True)
+        os._exit(3)
+    t = threading.Timer(mins * 60.0, fire)
+    t.daemon = True
+    t.start()
+
+
 def main() -> int:
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     model_name = os.environ.get("BENCH_MODEL", "dcgan")   # dcgan | vgg
     width = int(os.environ.get("BENCH_WIDTH", 64))        # 64 | 128
+    _arm_watchdog()
 
     if os.environ.get("BENCH_PHASE") == "train":
         # child mode: measure ONLY the train step and print one JSON line
@@ -143,6 +170,8 @@ def main() -> int:
                 env=dict(os.environ, BENCH_PHASE="train"),
                 capture_output=True, text=True, timeout=1200)
             train_res = json.loads(p.stdout.strip().splitlines()[-1])
+            if "train_step_ms" not in train_res:   # child watchdog/error line
+                train_res = None
         except Exception:
             train_res = None
 
