@@ -60,21 +60,33 @@ def sync_fence(out):
     (< 0.1 ms) at every geometry benched here. When `out` spans MULTIPLE
     dispatched programs (e.g. a `(live, artifact)` tuple), one leaf's
     scalar only fences that leaf's program — so combine one element of
-    EVERY leaf into a single on-device scalar first (one tiny dispatch
-    that depends on all of them), then fetch once. The single shared
-    fence for bench.py and scripts/roofline_bn.py — keep measurement
-    semantics identical across both."""
+    EVERY leaf into a single on-device scalar first, then fetch once.
+    The combine itself is jitted: ONE dispatched program that depends on
+    all leaves (an eager per-leaf loop would enqueue hundreds of tiny
+    tunnel dispatches for a parameter tree, contaminating the timing
+    window this fence closes); jit caches it per tree structure, and the
+    warmup fence before any timed window absorbs the one-off compile.
+    The single shared fence for bench.py and scripts/roofline_bn.py —
+    keep measurement semantics identical across both."""
     import numpy as np
 
     jnp = jax.numpy
     jax.block_until_ready(out)
     leaves = jax.tree.leaves(out)
-    probe = jnp.ravel(leaves[0])[0]
-    for leaf in leaves[1:]:
-        probe = probe.astype(jnp.float32) + jnp.ravel(leaf)[0].astype(
-            jnp.float32)
-    np.asarray(probe)
+    if len(leaves) == 1:
+        np.asarray(jnp.ravel(leaves[0])[0])
+    else:
+        np.asarray(_fence_combine(leaves))
     return out
+
+
+@jax.jit
+def _fence_combine(leaves):
+    jnp = jax.numpy
+    acc = jnp.zeros((), jnp.float32)
+    for leaf in leaves:
+        acc = acc + jnp.ravel(leaf)[0].astype(jnp.float32)
+    return acc
 
 
 @contextlib.contextmanager
