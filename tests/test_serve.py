@@ -231,3 +231,31 @@ def test_export_2d_mesh_rejects_bad_args(ckpt_dir, tmp_path):
         export_serving(ckpt_dir, str(tmp_path / "w.stablehlo"),
                        entry="diverse_metrics", nsample=4, batch_size=3,
                        mesh_samples=2, mesh_data=2)
+
+
+def test_load_serving_sharding_recovery_fallback(ckpt_dir, tmp_path,
+                                                 monkeypatch):
+    """If the artifact's input shardings cannot be recovered (jax version
+    drift, conversion failure onto the runtime mesh), load_serving must
+    WARN and fall back to replicated inputs — outputs stay correct, only
+    the per-call transfer volume degrades."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 devices")
+    out = str(tmp_path / "sharded_fb.stablehlo")
+    export_serving(ckpt_dir, out, entry="diverse_metrics",
+                   nsample=4, batch_size=2, n_eval=12, mesh_samples=2)
+    served_ok = load_serving(out)
+    x = _x()
+    key = jax.random.PRNGKey(13)
+    want = jax.tree.map(np.asarray, served_ok(x, key))
+
+    from jax import export as jax_export
+    monkeypatch.setattr(
+        jax_export.Exported, "in_shardings_jax",
+        lambda self, mesh: (_ for _ in ()).throw(RuntimeError("drift")),
+        raising=True)
+    with pytest.warns(UserWarning, match="could not recover"):
+        served_fb = load_serving(out)
+    got = jax.tree.map(np.asarray, served_fb(x, key))
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-6, atol=1e-7)
