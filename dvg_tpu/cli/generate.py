@@ -132,7 +132,7 @@ def main(argv=None) -> int:
     params, stats = state.params, state.stats
     cache = model.gp_cache(params)
 
-    _, test_ds = load_dataset(cfg, seq_len=cfg.n_eval)
+    test_ds = load_dataset(cfg, seq_len=cfg.n_eval, split="test")
     test_loader = Loader(test_ds, cfg.batch_size, shuffle=False,
                          seed=cfg.seed, num_threads=args.data_threads)
 

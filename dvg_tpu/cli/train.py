@@ -120,9 +120,10 @@ def main(argv=None) -> int:
         print(f"resuming at epoch {start_epoch}")
 
     # ---- data ---------------------------------------------------------------
-    train_ds, _ = load_dataset(cfg, seq_len=cfg.seq_len_train)
+    train_ds = load_dataset(cfg, seq_len=cfg.seq_len_train, split="train")
     # the qualitative plot rolls out n_eval frames (train.py:256-335)
-    _, test_ds = load_dataset(cfg, seq_len=max(cfg.n_eval, cfg.seq_len_train))
+    test_ds = load_dataset(cfg, seq_len=max(cfg.n_eval, cfg.seq_len_train),
+                           split="test")
     n_dev = args.mesh or len(jax.devices())
     mesh = make_mesh([("data", n_dev)]) if n_dev > 1 else None
     sharding = shard_batch(mesh) if mesh else None
@@ -231,12 +232,16 @@ def _plot(model, cfg, state, plot_fns, test_loader, epoch, jax, jnp,
     gt = np.asarray(x)[:cfg.n_eval]
     nrow = min(cfg.batch_size, 10)
     to_plot, gifs = [], [[] for _ in range(cfg.n_eval)]
+    # seed ONCE per plot: the reference draws fresh np.random.randint per
+    # row (train.py:346-351); reseeding inside the loop would show the
+    # same 4 "random" samples on every row
+    rs = np.random.RandomState(epoch)
     for b in range(nrow):
         to_plot.append([gt[t, b] for t in range(cfg.n_eval)])
         mse_s = ((gen[:, :cfg.n_eval, b] - gt[None, :, b]) ** 2
                  ).sum(axis=(1, 2, 3, 4))
         order = [int(np.argmin(mse_s))] + list(
-            np.random.RandomState(epoch).randint(0, gen.shape[0], 4))
+            rs.randint(0, gen.shape[0], 4))
         for s in order:
             to_plot.append([gen[s, t, b] for t in range(cfg.n_eval)])
         for t in range(cfg.n_eval):

@@ -213,9 +213,12 @@ def build_metadata(processed_root: str, classes: Sequence[str],
             frames = sorted(os.listdir(vdir), key=_frame_key)
             if not frames:
                 continue
-            per = max(len(frames) // n_chunks, 1)
-            chunks = [frames[k * per:(k + 1) * per] for k in range(n_chunks)]
-            chunks = [c for c in chunks if c]
+            # np.array_split semantics like the reference
+            # (meta_creator.py:20): every frame lands in exactly one chunk
+            # (a 103-frame video splits 26/26/26/25 — fixed-size chunking
+            # would silently drop the last len%n frames)
+            chunks = [[str(f) for f in c]
+                      for c in np.array_split(frames, n_chunks) if len(c)]
             records.append({"vid": vid, "files": chunks, "n": len(frames)})
         meta[cls] = records
     path = os.path.join(processed_root,

@@ -28,12 +28,18 @@ from dvg_tpu.data.frames import BAIR, KTH, UCF
 from dvg_tpu.data.moving_mnist import MovingMNIST
 
 
-def load_dataset(cfg: DVGConfig, seq_len: Optional[int] = None):
+def load_dataset(cfg: DVGConfig, seq_len: Optional[int] = None,
+                 split: str = "both"):
     """Dataset registry (reference utils.py:27-81) → (train, test).
 
     seq_len defaults to n_past + n_future for training datasets and
     max(n_eval, that) overall, matching the reference's
     `opt.n_past + opt.n_future` / `opt.n_eval` usage.
+
+    split="train"/"test" constructs and returns only that dataset — the
+    CLIs need the two splits at DIFFERENT seq_lens, and building the
+    unused half costs a full directory scan (BAIR: ~44k trajectory dirs)
+    or a metadata re-read (KTH/UCF) at startup.
     """
     T = seq_len if seq_len is not None else max(cfg.seq_len_train, cfg.n_eval)
     name = cfg.dataset.lower()
@@ -43,8 +49,11 @@ def load_dataset(cfg: DVGConfig, seq_len: Optional[int] = None):
             num_digits=cfg.num_digits, image_size=cfg.image_width,
             seed=cfg.seed)
     elif name == "bair":
+        # seq_len=T exactly: the reference trains RobotPush on
+        # n_past+n_future frames (utils.py:49) and its get_seq reads only
+        # frames 0..seq_len-1 of the 30-frame trajectories (bair.py:52-55)
         mk = lambda train: BAIR(train=train, data_root=cfg.data_root,
-                                seq_len=max(T, 30), image_size=cfg.image_width,
+                                seq_len=T, image_size=cfg.image_width,
                                 seed=cfg.seed)
     elif name == "kth":
         mk = lambda train: KTH(train=train, data_root=cfg.data_root,
@@ -56,6 +65,12 @@ def load_dataset(cfg: DVGConfig, seq_len: Optional[int] = None):
                                seed=cfg.seed)
     else:
         raise ValueError(f"unknown dataset {cfg.dataset!r}")
+    if split == "train":
+        return mk(True)
+    if split == "test":
+        return mk(False)
+    if split != "both":
+        raise ValueError(f"split must be train|test|both, got {split!r}")
     return mk(True), mk(False)
 
 
@@ -82,8 +97,7 @@ class Loader:
 
     def __init__(self, dataset, batch_size: int, *, shuffle: bool = True,
                  seed: int = 0, num_threads: int = 4, prefetch: int = 4,
-                 sharding=None, drop_labels: bool = True,
-                 device_assemble: bool = True):
+                 sharding=None, device_assemble: bool = True):
         self.dataset = dataset
         self.batch_size = batch_size
         self.device_assemble = device_assemble
@@ -92,7 +106,6 @@ class Loader:
         self.num_threads = max(1, num_threads)
         self.prefetch = max(1, prefetch)
         self.sharding = sharding
-        self.drop_labels = drop_labels
         self._lock = threading.Lock()
         self._item_pool: Optional[ThreadPoolExecutor] = None
         self._batch_pool: Optional[ThreadPoolExecutor] = None

@@ -2,7 +2,9 @@
 
 Host-side numpy + PIL/imageio equivalents of /root/reference/utils.py:
   * `image_grid`       — `image_tensor` (utils.py:104-154): nested lists of
-    (H, W, C) images → one tiled image with `padding` black gutters.
+    (H, W, C) images → one tiled image with `padding` white gutters
+    (nested lists stack vertically as rows, flat lists concatenate
+    horizontally — the reference's orientation).
   * `save_image`       — `save_tensors_image`/`make_image` (utils.py:186-199).
   * `save_gif`         — utils.py:156-165 (imageio mimsave, duration arg).
   * `save_gif_with_text` — utils.py:167-184: per-frame grid with a text
@@ -31,22 +33,26 @@ def _to_hwc(img: np.ndarray) -> np.ndarray:
     return img
 
 
-def image_grid(inputs, padding: int = 2) -> np.ndarray:
+def image_grid(inputs, padding: int = 1) -> np.ndarray:
     """Nested lists of images → tiled (H, W, 3) image.
 
-    Lists nest row-major: a list of lists of images is a grid of rows; a
-    flat list stacks vertically — mirroring the recursive contract of the
-    reference's `image_tensor` (utils.py:104-154) with black gutters."""
+    The recursive contract of the reference's `image_tensor`
+    (utils.py:104-154): a list of LISTS stacks its sub-grids VERTICALLY
+    (one grid row per entry, utils.py:121-127 concatenates along the
+    height axis), while a flat list of images concatenates HORIZONTALLY
+    (utils.py:143-149, the width axis). Gutters are `padding` px WHITE
+    (`torch.ones`), default padding=1 like the reference."""
     if isinstance(inputs, (list, tuple)):
         tiles = [image_grid(e, padding) for e in inputs]
         h = max(t.shape[0] for t in tiles)
         w = max(t.shape[1] for t in tiles)
         tiles = [_pad_to(t, h, w) for t in tiles]
-        # list-of-lists → this level concatenates horizontally, else rows
-        horiz = isinstance(inputs[0], (list, tuple))
-        axis = 1 if horiz else 0
-        gut_shape = ((h, padding, 3) if horiz else (padding, w, 3))
-        gutter = np.zeros(gut_shape, np.float32)
+        # list-of-lists → this level stacks sub-grids vertically (rows);
+        # a flat list of images concatenates horizontally
+        vert = isinstance(inputs[0], (list, tuple))
+        axis = 0 if vert else 1
+        gut_shape = ((padding, w, 3) if vert else (h, padding, 3))
+        gutter = np.ones(gut_shape, np.float32)
         out: List[np.ndarray] = []
         for i, t in enumerate(tiles):
             if i:
@@ -66,17 +72,19 @@ def _to_uint8(img: np.ndarray) -> np.ndarray:
 
 
 def save_image(path: str, grid) -> None:
+    """Reference save_tensors_image (utils.py:197-199): padding=1."""
     import imageio.v2 as imageio
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    imageio.imwrite(path, _to_uint8(image_grid(grid)))
+    imageio.imwrite(path, _to_uint8(image_grid(grid, padding=1)))
 
 
 def save_gif(path: str, frames: Sequence, duration: float = 0.25) -> None:
     """frames: sequence over time; each entry is an image or a nested grid
-    (reference save_gif, utils.py:156-165)."""
+    (reference save_gif, utils.py:175-182: image_tensor(..., padding=0) —
+    GIF frames carry no gutters)."""
     import imageio.v2 as imageio
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    imgs = [_to_uint8(image_grid(f)) for f in frames]
+    imgs = [_to_uint8(image_grid(f, padding=0)) for f in frames]
     imageio.mimsave(path, imgs, duration=duration, loop=0)
 
 

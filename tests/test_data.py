@@ -461,3 +461,20 @@ def test_kth_empty_files_record_diagnostic(tmp_path):
                 ds[i]
             except FileNotFoundError:   # healthy classes: PNGs don't exist
                 continue
+
+
+def test_build_metadata_array_split_covers_all_frames(tmp_path):
+    """Chunking follows the reference's np.array_split (meta_creator.py:20):
+    a video whose length is not divisible by n_chunks keeps EVERY frame
+    (13 → 4/3/3/3), where fixed-size chunking would drop the tail."""
+    root = str(tmp_path)
+    d = os.path.join(root, "processed", "boxing", "vid0")
+    os.makedirs(d)
+    from PIL import Image
+    for t in range(13):
+        Image.fromarray(np.zeros((16, 16), np.uint8)).save(
+            os.path.join(d, f"image-{t}_16x16.png"))
+    path = build_metadata(root, ("boxing",), image_size=64, split="train")
+    rec = json.load(open(path))["boxing"][0]
+    sizes = [len(c) for c in rec["files"]]
+    assert sizes == [4, 3, 3, 3] and sum(sizes) == rec["n"] == 13

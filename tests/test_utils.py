@@ -12,11 +12,16 @@ from dvg_tpu.utils.logging import MetricLogger
 
 
 def test_image_grid_layouts():
+    """Reference image_tensor orientation (utils.py:104-154): a flat list
+    concatenates HORIZONTALLY; a list of lists stacks rows VERTICALLY;
+    gutters are `padding` px of WHITE (torch.ones), default padding=1."""
     img = np.ones((8, 8, 3), np.float32) * 0.5
-    flat = image_grid([img, img], padding=2)        # vertical stack
-    assert flat.shape == (18, 8, 3)
+    flat = image_grid([img, img], padding=2)        # horizontal strip
+    assert flat.shape == (8, 18, 3)
+    assert float(flat[0, 8, 0]) == 1.0              # white gutter
     grid = image_grid([[img, img], [img, img]], padding=2)
-    assert grid.shape[1] == 18                      # 2 cols + gutter
+    assert grid.shape == (18, 18, 3)                # 2 rows x 2 cols
+    assert image_grid([img, img]).shape == (8, 17, 3)   # default padding=1
     gray = image_grid(np.ones((8, 8), np.float32))
     assert gray.shape == (8, 8, 3)
 
