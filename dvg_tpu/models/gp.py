@@ -81,13 +81,20 @@ def noise_variance(lik_params) -> jnp.ndarray:
 # kernel
 # ---------------------------------------------------------------------------
 
+def _rbf(outputscale, lengthscale, x1, x2):
+    """Scaled RBF from explicit (D,) hyperparams — the ONE kernel formula;
+    every path (raw params, rollout cache, full-cov cache) routes through
+    it so a kernel change cannot silently miss a copy.
+    x1: (D,N,1), x2: (D,M,1) → (D,N,M)."""
+    diff = x1[..., :, 0][..., :, None] - x2[..., :, 0][..., None, :]
+    sq = (diff / lengthscale[:, None, None]) ** 2
+    return outputscale[:, None, None] * jnp.exp(-0.5 * sq)
+
+
 def rbf_cross(params, x1, x2):
     """Scaled RBF cross-covariance. x1: (D,N,1), x2: (D,M,1) → (D,N,M)."""
-    ls = _softplus(params["raw_lengthscale"])[:, None, None]
-    os_ = _softplus(params["raw_outputscale"])[:, None, None]
-    diff = x1[..., :, 0][..., :, None] - x2[..., :, 0][..., None, :]
-    sq = (diff / ls) ** 2
-    return os_ * jnp.exp(-0.5 * sq)
+    return _rbf(_softplus(params["raw_outputscale"]),
+                _softplus(params["raw_lengthscale"]), x1, x2)
 
 
 def kernel_diag(params, n: int) -> jnp.ndarray:
@@ -150,9 +157,19 @@ def predictive_variance(params, lik_params, x) -> jnp.ndarray:
 
 def posterior_full_cov(params, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full (D, B, B) predictive covariance (for exact correlated rsample,
-    matching gpytorch MultivariateNormal.rsample on a batch of inputs)."""
-    post = posterior(params, x)
-    kxx = rbf_cross(params, x, x)
+    matching gpytorch MultivariateNormal.rsample on a batch of inputs).
+
+    Always computed — and returned — in f32, whatever the input dtype:
+    cov = kxx − A·Aᵀ + (A L_S)(A L_S)ᵀ is a catastrophic cancellation
+    (kxx ≈ A·Aᵀ near the inducing set), so assembling it in bf16 loses the
+    digits before any later cast can recover them; the residual can exceed
+    noise+jitter, turning cov indefinite and the downstream Cholesky NaN
+    (same hazard cached_rsample_fullcov documents and avoids)."""
+    f32 = jnp.float32
+    params = jax.tree_util.tree_map(lambda a: jnp.asarray(a, f32), params)
+    xf = jnp.asarray(x, f32)
+    post = posterior(params, xf)
+    kxx = rbf_cross(params, xf, xf)
     cov = (kxx - jnp.einsum("dbm,dcm->dbc", post.a, post.a)
            + jnp.einsum("dbm,dcm->dbc", post.a_ls, post.a_ls))
     return post.mean, cov
@@ -171,12 +188,15 @@ def rsample(params, lik_params, x, key, full_cov: bool = False) -> jnp.ndarray:
     """
     noise = noise_variance(lik_params)[:, None]
     if full_cov:
+        # posterior_full_cov runs (and returns) f32 regardless of input
+        # dtype — see its docstring; draw in f32, cast back at the end
+        f32 = jnp.float32
         mean, cov = posterior_full_cov(params, x)
         b = x.shape[1]
-        cov = cov + (noise[..., None] + JITTER) * jnp.eye(b)
+        cov = cov + (jnp.asarray(noise, f32)[..., None] + JITTER) * jnp.eye(b, dtype=f32)
         l = jnp.linalg.cholesky(cov)
-        eps = jax.random.normal(key, mean.shape, mean.dtype)
-        return mean + jnp.einsum("dbc,dc->db", l, eps)
+        eps = jax.random.normal(key, mean.shape, f32)
+        return (mean + jnp.einsum("dbc,dc->db", l, eps)).astype(x.dtype)
     post = posterior(params, x)
     eps = jax.random.normal(key, post.mean.shape, post.mean.dtype)
     return post.mean + jnp.sqrt(post.var + noise) * eps
@@ -261,9 +281,7 @@ def build_cache(params, lik_params) -> GPCache:
 
 def cached_mean_var(cache: GPCache, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """x: (D, B, 1) → (mean (D,B), var-of-f (D,B)) using the cache."""
-    diff = x[..., :, 0][..., :, None] - cache.z[..., :, 0][..., None, :]
-    kxz = cache.outputscale[:, None, None] * jnp.exp(
-        -0.5 * (diff / cache.lengthscale[:, None, None]) ** 2)   # (D,B,M)
+    kxz = _rbf(cache.outputscale, cache.lengthscale, x, cache.z)  # (D,B,M)
     a = jnp.einsum("dbm,dmn->dbn", kxz, cache.w)
     mean = cache.mean_const[:, None] + jnp.einsum("dbm,dm->db", kxz, cache.v1)
     a_ls = jnp.einsum("dbm,dmn->dbn", kxz, cache.v2)
@@ -338,16 +356,12 @@ def cached_rsample_fullcov(cache: GPCache, x, key) -> jnp.ndarray:
     xf = x.astype(f32)
     outputscale = cache.outputscale.astype(f32)
     lengthscale = cache.lengthscale.astype(f32)
-    diff = xf[..., :, 0][..., :, None] - cache.z.astype(f32)[..., :, 0][..., None, :]
-    kxz = outputscale[:, None, None] * jnp.exp(
-        -0.5 * (diff / lengthscale[:, None, None]) ** 2)         # (D,B,M)
+    kxz = _rbf(outputscale, lengthscale, xf, cache.z.astype(f32))  # (D,B,M)
     a = jnp.einsum("dbm,dmn->dbn", kxz, cache.w.astype(f32))
     mean = (cache.mean_const.astype(f32)[:, None]
             + jnp.einsum("dbm,dm->db", kxz, cache.v1.astype(f32)))
     a_ls = jnp.einsum("dbm,dmn->dbn", kxz, cache.v2.astype(f32))
-    xdiff = xf[..., :, 0][..., :, None] - xf[..., :, 0][..., None, :]
-    kxx = outputscale[:, None, None] * jnp.exp(
-        -0.5 * (xdiff / lengthscale[:, None, None]) ** 2)        # (D,B,B)
+    kxx = _rbf(outputscale, lengthscale, xf, xf)                   # (D,B,B)
     cov = (kxx - jnp.einsum("dbm,dcm->dbc", a, a)
            + jnp.einsum("dbm,dcm->dbc", a_ls, a_ls))
     b = x.shape[1]

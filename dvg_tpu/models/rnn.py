@@ -161,8 +161,11 @@ def gru_init(key, input_size, output_size, hidden_size, n_layers) -> Dict:
     }
 
 
-def gru_hidden_init(batch_size, hidden_size, n_layers):
-    return jnp.zeros((n_layers, batch_size, hidden_size), jnp.float32)
+def gru_hidden_init(batch_size: int, hidden_size: int, n_layers: int,
+                    dtype=jnp.float32) -> jnp.ndarray:
+    """Per-sequence zero state — same dtype contract as lstm_hidden_init
+    (callers thread the rollout compute dtype, e.g. rollout.py:100)."""
+    return jnp.zeros((n_layers, batch_size, hidden_size), dtype)
 
 
 def gru_apply(params, hidden, x):

@@ -249,9 +249,13 @@ def gaussian_encoder_stats_init(dim: int, nc: int = 1,
     return {"trunk": encoder_stats_init(dim, nc, image_width)}
 
 
-def gaussian_encoder_apply(params, stats, x, train: bool, rng):
+def gaussian_encoder_apply(params, stats, x, train: bool, rng,
+                           axis_name=None):
+    """VAE head over the encoder trunk. `axis_name` threads through to the
+    trunk's BatchNorm like every other *_apply here, so shard_map data
+    parallelism keeps global-batch statistics (layers.py batchnorm)."""
     (h, skips), trunk_stats = encoder_apply(params["trunk"], stats["trunk"],
-                                            x, train)
+                                            x, train, axis_name=axis_name)
     mu = L.linear_apply(params["mu"], h)
     logvar = L.linear_apply(params["logvar"], h)
     eps = jax.random.normal(rng, mu.shape, mu.dtype)

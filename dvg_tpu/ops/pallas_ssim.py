@@ -11,7 +11,8 @@ WHOLE metric in one pass per image block:
   * the 7x7 uniform-window moments as banded-matrix matmuls on the MXU
     (box filter == W_h @ X @ W_w^T with 0/1-banded weight matrices — two
     small matmuls per moment instead of a sliding window);
-  * SSIM statistics + map mean + data_range max/min + PSNR on the VPU;
+  * SSIM statistics + map mean + PSNR on the VPU (fixed data_range = 2.0 —
+    no per-image max/min mode on this path);
   * one scalar pair written per image — the (N, h', w') moment maps never
     touch HBM.
 

@@ -166,11 +166,14 @@ def _box_filter_sep(x: jnp.ndarray, size: int) -> jnp.ndarray:
 
 def ssim_gt_precompute(gt: jnp.ndarray, win_size: int = 7):
     """Precompute the ground-truth-side SSIM quantities for (B, H, W, C)
-    frames: windowed mean/second moment + per-channel data_range.
+    frames: the windowed mean and second moment. The fixed DATA_RANGE=2.0
+    convention applies (skimage ≤0.17 float images) — there is no
+    per-image data_range mode on this batched path; use the scalar
+    `ssim(..., data_range=None)` for that.
 
     In a diverse-generation sweep the SAME ground truth scores S sampled
     futures — computing these once instead of per sample removes ~all
-    gt-side work (incl. the max/min reductions) from the hot loop."""
+    gt-side work from the hot loop."""
     gt = gt.astype(jnp.float32)
     m = _box_filter_sep(jnp.concatenate([gt, gt * gt], axis=-1), win_size)
     c = gt.shape[-1]
@@ -243,7 +246,12 @@ def finn_ssim_psnr_batch(gt: jnp.ndarray, pred: jnp.ndarray
     c1, c2 = 0.01 ** 2, 0.03 ** 2
     s_map = ((2 * mu1 * mu2 + c1) * (2 * v12 + c2)
              / ((mu1 * mu1 + mu2 * mu2 + c1) * (v1 + v2 + c2)))
-    ssim_b = jnp.mean(s_map, axis=(1, 2, 3))
+    # reference finn_eval_seq substitutes -1 for a NaN per-channel SSIM
+    # (utils.py:247-248) before channel-averaging — reproduce, so a
+    # diverged model's scores stay finite and -1-penalized, not NaN
+    ssim_bc = jnp.mean(s_map, axis=(1, 2))                # (B, C)
+    ssim_bc = jnp.where(jnp.isnan(ssim_bc), -1.0, ssim_bc)
+    ssim_b = jnp.mean(ssim_bc, axis=-1)
     mse_bc = jnp.mean((gt - pred) ** 2, axis=(1, 2))
     psnr_b = jnp.mean(10.0 * jnp.log10(1.0 / jnp.maximum(mse_bc, 1e-12)),
                       axis=-1)
@@ -306,8 +314,17 @@ def eval_seq(gt, pred) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
             _per_frame(psnr, gt, pred))
 
 
+def _finn_ssim_nan_neg1(g, p):
+    """finn_ssim with the reference's NaN→-1 substitution: finn_eval_seq
+    records ssim = -1 for a (frame, channel) whose SSIM is NaN
+    (utils.py:247-248) so best-sample argmax stays well-defined."""
+    v = finn_ssim(g, p)
+    return jnp.where(jnp.isnan(v), -1.0, v)
+
+
 def finn_eval_seq(gt, pred) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """utils.py:237-263 equivalent, fully on device."""
+    """utils.py:237-263 equivalent, fully on device (incl. the NaN→-1
+    per-channel SSIM substitution of utils.py:247-248)."""
     return (_per_frame(mse_metric, gt, pred),
-            _per_frame(finn_ssim, gt, pred),
+            _per_frame(_finn_ssim_nan_neg1, gt, pred),
             _per_frame(finn_psnr, gt, pred))

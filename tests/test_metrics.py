@@ -116,6 +116,28 @@ def test_finn_batch_matches_scalar_finn():
                                rtol=1e-5)
 
 
+def test_finn_nan_substitutes_minus_one():
+    """Reference finn_eval_seq records ssim = -1 for a (frame, channel)
+    whose SSIM is NaN (utils.py:247-248) — a diverged model's scores must
+    stay finite and -1-penalized on both finn paths."""
+    gt, pred = _pair(5)
+    bad = pred.copy()
+    bad[3, 4] = np.nan
+    # batched path: the NaN channel scores exactly -1
+    g = jnp.asarray(gt)[None, :, :, None]
+    s_b, _ = S.finn_ssim_psnr_batch(g, jnp.asarray(bad)[None, :, :, None])
+    assert float(s_b[0]) == -1.0
+    # sequence path: (T,B,H,W,C) with one NaN frame → that entry is -1,
+    # clean frames keep their scores
+    gt_seq = jnp.asarray(np.stack([gt, gt]))[:, None, :, :, None]
+    pr_seq = jnp.asarray(np.stack([pred, bad]))[:, None, :, :, None]
+    _, ssim_seq, _ = S.finn_eval_seq(gt_seq, pr_seq)
+    ssim_seq = np.asarray(ssim_seq)            # (B=1, T=2)
+    np.testing.assert_allclose(ssim_seq[0, 0], np_finn_ssim(gt, pred),
+                               rtol=1e-5)
+    assert ssim_seq[0, 1] == -1.0
+
+
 def test_batch_matches_scalar_skimage_path():
     gt, pred = _pair(4)
     g = jnp.asarray(gt)[None, :, :, None]
