@@ -317,14 +317,27 @@ def main() -> int:
     # jitted module calls from Python with a host fetch per frame.
     serial_frames = int(os.environ.get("BENCH_SERIAL_FRAMES", 200))
 
+    from dvg_tpu.models import gp as gp_mod
+
     @jax.jit
     def one_frame(params, stats, cache, hidden, x_in, key):
+        # the reference's COMMON frame (14 of every 15): encoder →
+        # frame_predictor → decoder(h_pred); no GP work
         (h, _), _ = model.encode(params, stats, x_in, train=False)
         h_pred, hidden = model.predict_latent(params, hidden, h)
-        from dvg_tpu.models import gp as gp_mod
+        x_out, _ = model.decode(params, stats, h_pred, skip_holder, train=False)
+        return hidden, x_out
+
+    @jax.jit
+    def one_frame_fork(params, stats, cache, hidden, x_in, key):
+        # the reference's FORK frame (i % 15 == 0): the GP rsample is
+        # decoded instead of h_pred (generate_frames.py:168-171) — the
+        # sample must stay live or XLA DCEs the whole GP chain
+        (h, _), _ = model.encode(params, stats, x_in, train=False)
+        h_pred, hidden = model.predict_latent(params, hidden, h)
         samp = model.from_gp_layout(gp_mod.cached_rsample(
             cache, model.to_gp_layout(h), key))
-        x_out, _ = model.decode(params, stats, h_pred, skip_holder, train=False)
+        x_out, _ = model.decode(params, stats, samp, skip_holder, train=False)
         return hidden, x_out
 
     # fixed skip from the context frame, like the reference's stale skip
@@ -341,18 +354,25 @@ def main() -> int:
     # reference's local .cuda() loop never pays. This measures the pure
     # device cost of one-frame-at-a-time dispatch, the most favorable
     # reading of the reference's execution model.
+    def _frame_fn(t):
+        # reference fork schedule: GP-sampled decode on i % 15 == 0
+        return one_frame_fork if t % 15 == 0 else one_frame
+
+    hidden, x_in = one_frame_fork(params, stats, cache, hidden, x_in,
+                                  jax.random.PRNGKey(0))
+    np.asarray(x_in)                       # warm the fork variant too
     t0 = time.perf_counter()
     for t in range(serial_frames):
-        hidden, x_in = one_frame(params, stats, cache, hidden, x_in,
-                                 jax.random.PRNGKey(t))
+        hidden, x_in = _frame_fn(t)(params, stats, cache, hidden, x_in,
+                                    jax.random.PRNGKey(t))
     _sync(x_in)
     dt_serial = time.perf_counter() - t0
     serial_total_fps = serial_frames * batch / dt_serial
     # faithful variant incl. the reference's per-frame .cpu().numpy()
     t0 = time.perf_counter()
     for t in range(serial_frames):
-        hidden, x_in = one_frame(params, stats, cache, hidden, x_in,
-                                 jax.random.PRNGKey(t))
+        hidden, x_in = _frame_fn(t)(params, stats, cache, hidden, x_in,
+                                    jax.random.PRNGKey(t))
         np.asarray(x_in)
     serial_fetch_fps = serial_frames * batch / (time.perf_counter() - t0)
 

@@ -38,7 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--image_width", type=int, default=64)
     p.add_argument("--channels", default=1, type=int)
     p.add_argument("--gp_trigger_flag", action="store_true", default=False)
-    p.add_argument("--dataset", default="kth")
+    # the reference restores `dataset` from the checkpoint (its --dataset
+    # flag is dead: generate_frames.py:44 replaces opt wholesale); honor an
+    # EXPLICIT --dataset as an override, else keep the saved one
+    p.add_argument("--dataset", default=None)
     p.add_argument("--n_past", type=int, default=5)
     p.add_argument("--n_future", type=int, default=10)
     p.add_argument("--n_eval", type=int, default=60)
@@ -92,7 +95,8 @@ def main(argv=None) -> int:
     from dvg_tpu.generate.rollout import best_of_n, make_rollout_fns
     from dvg_tpu.models.dvg import DVGModel
     from dvg_tpu.parallel import distributed_init, is_coordinator, make_mesh
-    from dvg_tpu.train import init_train_state, load_checkpoint
+    from dvg_tpu.train import (init_train_state, load_checkpoint_blob,
+                               restore_state)
     from dvg_tpu.utils import (MetricLogger, add_border, save_gif_with_text,
                                save_image)
 
@@ -102,11 +106,12 @@ def main(argv=None) -> int:
     dvg_tpu.enable_compilation_cache()
 
     ckpt = os.path.join(args.model_dir, "model.ckpt")
-    saved_cfg, payload = load_checkpoint(ckpt)
+    saved_cfg, payload = load_checkpoint_blob(_read_ckpt_synced(ckpt, jax))
     cfg = saved_cfg.generation_override()
     use_pallas = (jax.default_backend() == "tpu"
                   if args.use_pallas is None else args.use_pallas)
-    cfg = cfg.replace(log_dir=args.log_dir, dataset=args.dataset,
+    cfg = cfg.replace(log_dir=args.log_dir,
+                      dataset=args.dataset or cfg.dataset,
                       data_root=args.data_root,
                       gp_trigger_flag=args.gp_trigger_flag,
                       nsample=args.nsample, dtype=args.dtype,
@@ -126,9 +131,10 @@ def main(argv=None) -> int:
     logger = MetricLogger(cfg.log_dir)
 
     model = DVGModel(cfg)
-    # rebuild a state skeleton from the SAVED config geometry, then load
+    # rebuild a state skeleton from the SAVED config geometry, then restore
+    # from the already-decoded (and, multi-host, broadcast) payload
     _, skeleton, _ = init_train_state(cfg, jax.random.PRNGKey(0))
-    _, state = load_checkpoint(ckpt, target_state=skeleton)
+    state = restore_state(skeleton, payload)
     params, stats = state.params, state.stats
     cache = model.gp_cache(params)
 
@@ -294,6 +300,32 @@ def main(argv=None) -> int:
         _save_sample_gifs(np.asarray(x), np.asarray(post), frames_of,
                           rows_n, bi, cfg, add_border, save_gif_with_text)
     return 0
+
+
+def _read_ckpt_synced(ckpt_path: str, jax_mod) -> bytes:
+    """Checkpoint bytes, identical on every process.
+
+    Checkpoints are written coordinator-only (cli/train.py), so on per-host
+    local disks a peer may hold a missing or STALE model.ckpt; loading it
+    independently would assemble a 'replicated' global array whose shards
+    differ across hosts — silently wrong eval. The coordinator reads the
+    file and broadcasts the raw bytes (size first, then the blob), so every
+    process decodes the same checkpoint."""
+    if jax_mod.process_count() <= 1:
+        with open(ckpt_path, "rb") as f:
+            return f.read()
+    from jax.experimental import multihost_utils as mhu
+
+    from dvg_tpu.parallel import is_coordinator
+    if is_coordinator():
+        with open(ckpt_path, "rb") as f:
+            blob = np.frombuffer(f.read(), np.uint8)
+    else:
+        blob = np.zeros((0,), np.uint8)
+    n = int(mhu.broadcast_one_to_all(np.int64(blob.size)))
+    if blob.size != n:
+        blob = np.zeros((n,), np.uint8)
+    return np.asarray(mhu.broadcast_one_to_all(blob)).tobytes()
 
 
 def _save_sample_gifs(x, post, frames_of, rows_n, batch_idx, cfg, add_border,

@@ -115,7 +115,8 @@ def main(argv=None) -> int:
             np.asarray,
             multihost_utils.broadcast_one_to_all(
                 jax.tree.map(np.asarray, state)))
-    start_epoch = int(state.step) // cfg.epoch_size
+    resume_step = int(state.step)
+    start_epoch = resume_step // cfg.epoch_size
     if args.resume and start_epoch:
         print(f"resuming at epoch {start_epoch}")
 
@@ -159,7 +160,10 @@ def main(argv=None) -> int:
     # keep the host ahead of the device: batches come from the Loader's
     # prefetch thread, and per-step metrics accumulate ON DEVICE (a float()
     # per step would sync the pipeline ~3x slower)
-    batches = iter(train_loader)
+    # resume continues the (seed, step) data stream at the checkpointed
+    # step — iterating from 0 would replay the exact batch sequence the
+    # model already trained on
+    batches = train_loader.iter_from(resume_step)
     if args.trace_dir:
         # profile a few steady-state steps (compile happens outside the
         # trace); the handful of extra steps slightly advances state.step
@@ -190,8 +194,14 @@ def main(argv=None) -> int:
             if sharding is None:
                 x = jnp.asarray(x)
             state, metrics = step_fn(state, x)
+            # reference epoch metric (train.py:363): mse_ctrl + temp_loss,
+            # where mse_ctrl = Σ mse_latent / T (train.py:248) and
+            # temp_loss = Σ ft_mse_latent / T + Σ ft_gp_nll / T
+            # (train.py:172, 198, 252-255), T = n_past + n_future.
+            # step.py's ft_mse_latent / ft_gp_nll are the frame SUMS.
             epoch_mse = epoch_mse + metrics["mse_latent_per_frame"] \
-                + metrics.get("ft_mse_latent", 0.0)
+                + (metrics.get("ft_mse_latent", 0.0)
+                   + metrics.get("ft_gp_nll", 0.0)) / cfg.seq_len_train
         epoch_mse = float(epoch_mse)          # one sync per epoch
         epoch_s = timer.stop()
         logger.log(epoch, {"epoch_mse": epoch_mse / cfg.epoch_size,

@@ -111,19 +111,15 @@ def _context_phase(model: DVGModel, params, stats, x, n_past: int):
 
 def _free_run(model: DVGModel, params, stats, cache: gp_mod.GPCache,
               hidden, skip, x_in, n_steps: int, fork_mask, keys,
-              gp_mean_mode: bool, gt=None, row_ids=None,
-              use_pallas: bool = False, metric: str = "skimage",
+              gp_mean_mode: bool, row_ids=None,
               refresh_skip: bool = False, full_cov: bool = False,
               pair_keys: bool = False, cache_fc: gp_mod.GPCache = None):
-    """Closed-loop rollout for n_steps frames.
+    """Closed-loop rollout for n_steps frames → (n_steps, B, H, W, C).
 
     fork_mask: (n_steps,) bool — steps that decode a GP sample of gp(h).
     gp_mean_mode: True → every step decodes the GP posterior mean of
     gp(h_pred) (the posterior rollout); False → LSTM prediction decodes
     unless forked.
-    gt: optional (n_steps, B, H, W, C) ground truth — when given, per-frame
-    SSIM/PSNR/MSE are computed INSIDE the scan and returned instead of the
-    frames (constant memory regardless of rollout length).
     refresh_skip (--last_frame_skip, generate_frames.py:116-119): the skip
     features refresh from the encode of EVERY input frame — including the
     model's own generated frames — instead of staying frozen at the last
@@ -132,28 +128,18 @@ def _free_run(model: DVGModel, params, stats, cache: gp_mod.GPCache,
     batch-correlated sample (generate_frames.py:170) — key-only, so
     `row_ids` replay applies only to the default marginal mode.
     pair_keys: `keys` is (n_steps, K) — every batch position k is its own
-    (sample, row) pair with its own step keys (batched GIF re-roll)."""
-    from dvg_tpu.ops import ssim as ssim_ops
+    (sample, row) pair with its own step keys (batched GIF re-roll).
+
+    (In-scan SSIM/PSNR eval lives in `diverse_metrics`'s merged-batch scan,
+    not here — this function always materializes frames.)"""
 
     def enc_full(xt):
         (h, skips), _ = model.encode(params, stats, xt, train=False)
         return h, skips
 
-    def metrics_of(x_out, gt_pre_t):
-        x_out = x_out.astype(jnp.float32)            # metrics always f32
-        if metric == "finn":
-            s, q = ssim_ops.finn_ssim_psnr_batch(gt_pre_t["gt"], x_out)
-        elif use_pallas:
-            from dvg_tpu.ops.pallas_ssim import ssim_psnr_batch_pallas
-            s, q = ssim_psnr_batch_pallas(gt_pre_t["gt"], x_out)
-        else:
-            s, q = ssim_ops.ssim_psnr_batch_pre(gt_pre_t, x_out)
-        m = jnp.mean((x_out - gt_pre_t["gt"]) ** 2, axis=(1, 2, 3))
-        return s, q, m
-
     def step(carry, scan_in):
         hidden, x_in = carry
-        fork, key = scan_in[0], scan_in[1]
+        fork, key = scan_in
         h, skips_new = enc_full(x_in)
         sk = skips_new if refresh_skip else skip
         h_pred, hidden = model.predict_latent(params, hidden, h)
@@ -174,28 +160,10 @@ def _free_run(model: DVGModel, params, stats, cache: gp_mod.GPCache,
             sample = model.from_gp_layout(sample)
             latent = jnp.where(fork, sample, h_pred)
         x_out, _ = model.decode(params, stats, latent, sk, train=False)
-        if gt is not None:
-            out = metrics_of(x_out, scan_in[2])
-        else:
-            out = x_out
-        return (hidden, x_out), out
+        return (hidden, x_out), x_out
 
-    if gt is None:
-        xs = (fork_mask, keys)
-    elif use_pallas or metric == "finn":
-        xs = (fork_mask, keys, {"gt": gt.astype(jnp.float32)})
-    else:
-        # gt-side SSIM quantities for all steps in ONE batched pass —
-        # shared across every sample of the diversity sweep (the caller's
-        # vmap closes over them, so they are computed once, not S times)
-        t, b = gt.shape[0], gt.shape[1]
-        flat = gt.reshape((t * b,) + gt.shape[2:])
-        pre = ssim_ops.ssim_gt_precompute(flat)
-        pre = jax.tree.map(
-            lambda a: a.reshape((t, b) + a.shape[1:]), pre)
-        xs = (fork_mask, keys, pre)
-    (_, _), out = jax.lax.scan(step, (hidden, x_in), xs)
-    return out   # frames (n_steps, B, H, W, C) or ((n_steps,B) ssim/psnr/mse)
+    (_, _), out = jax.lax.scan(step, (hidden, x_in), (fork_mask, keys))
+    return out
 
 
 # ---------------------------------------------------------------------------

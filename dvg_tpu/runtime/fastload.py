@@ -48,7 +48,10 @@ def _load() -> Optional[ctypes.CDLL]:
             if lib.dvg_version() != 1:
                 return None
             _lib = lib
-        except OSError:
+        except (OSError, AttributeError):
+            # AttributeError: a stale/foreign libdvgload.so that loads but
+            # lacks the expected symbols — fall back to PIL, don't crash
+            # the availability probe
             return None
         return _lib
 

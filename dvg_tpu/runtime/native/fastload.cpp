@@ -60,7 +60,16 @@ bool decode_png(const char* path, int want_c, Image* out) {
   }
   png_structp png =
       png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) {  // allocation failure / libpng mismatch: fall back, don't crash
+    std::fclose(f);
+    return false;
+  }
   png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    std::fclose(f);
+    return false;
+  }
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     std::fclose(f);

@@ -57,9 +57,9 @@ def export_serving(model_dir: str, out_path: str, entry: str = "posterior",
     from dvg_tpu.train import init_train_state, load_checkpoint
     from dvg_tpu.train.checkpoint import restore_state
 
-    ckpt = os.path.join(model_dir, "model.ckpt") \
-        if not model_dir.endswith(".ckpt") else model_dir
-    saved_cfg, payload = load_checkpoint(ckpt)
+    # load_checkpoint resolves directories itself (checkpoint.py) — pass
+    # through so explicit non-.ckpt file paths (e.g. final.msgpack) work
+    saved_cfg, payload = load_checkpoint(model_dir)
     cfg = saved_cfg.generation_override()
     if nsample:
         cfg = cfg.replace(nsample=nsample)

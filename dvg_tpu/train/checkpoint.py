@@ -37,8 +37,19 @@ def _to_host(tree):
 
 
 def save_checkpoint(path: str, cfg: DVGConfig, state) -> str:
-    """state: TrainState (or any pytree with params/stats/opt_states/step)."""
-    if os.path.isdir(path) or not path.endswith(".ckpt"):
+    """state: TrainState (or any pytree with params/stats/opt_states/step).
+
+    `path` may be a directory (writes <path>/model.ckpt inside it) or an
+    explicit FILE path — a basename with an extension is treated as a
+    file, so save_checkpoint('out/final.msgpack', ...) writes that file
+    rather than silently creating a directory of that name. Disambiguate
+    a dotted DIRECTORY name ('runs/v1.5') with a trailing slash or by
+    creating the directory first — an existing dir or trailing separator
+    always selects the directory branch."""
+    is_file = (not path.endswith(os.sep)
+               and not os.path.isdir(path)
+               and "." in os.path.basename(path))
+    if not is_file:
         os.makedirs(path, exist_ok=True)
         path = os.path.join(path, CKPT_NAME)
     else:
@@ -71,7 +82,16 @@ def load_checkpoint(path: str, target_state=None
     if os.path.isdir(path):
         path = os.path.join(path, CKPT_NAME)
     with open(path, "rb") as f:
-        payload = serialization.msgpack_restore(f.read())
+        return load_checkpoint_blob(f.read(), target_state)
+
+
+def load_checkpoint_blob(blob: bytes, target_state=None
+                         ) -> Tuple[DVGConfig, Optional[object]]:
+    """`load_checkpoint` from in-memory bytes. Multi-host callers broadcast
+    the coordinator's file and decode locally so every process holds the
+    SAME checkpoint even when per-host disks have stale or missing copies
+    (cli/generate.py)."""
+    payload = serialization.msgpack_restore(blob)
     cfg = DVGConfig.from_dict(json.loads(payload["config"]))
     if target_state is None:
         return cfg, payload

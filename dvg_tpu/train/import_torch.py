@@ -686,6 +686,7 @@ def import_checkpoint(pth_path: str, out_path: str) -> str:
             raise ValueError(
                 f"imported tensor shape {np.shape(b)} != native {np.shape(a)}")
     jax.tree.map(_check, state.params, params)
+    jax.tree.map(_check, state.stats, stats)   # BN running stats too
     state = state._replace(
         params=jax.tree.map(lambda _, v: np.asarray(v, np.float32),
                             state.params, params),

@@ -1,8 +1,12 @@
 """Optimizers: 4 Adam groups + the GP MultiStepLR schedule.
 
 Reference wiring (/root/reference/train.py:95-106):
-  * three Adam(lr=0.002, betas=(beta1, 0.999)) groups for frame_predictor,
-    encoder, decoder (train.py:95-97);
+  * three Adam(lr=0.002) groups with DEFAULT betas (0.9, 0.999) for
+    frame_predictor, encoder, decoder (train.py:95-97). NB the reference
+    CLI's --lr/--beta1 flags are DEAD there (never passed to any
+    optimizer); here they are honored for real like the other dead flags
+    (--model, --image_width — PARITY.md), and the defaults
+    (lr=0.002, beta1=0.9) reproduce the reference's hardcoded values;
   * one Adam(lr=0.002) over gp_layer + likelihood params with
     MultiStepLR(milestones=[3, 5], gamma=0.1) (train.py:105-106), where the
     scheduler is stepped at the START of each epoch (train.py:347) — torch

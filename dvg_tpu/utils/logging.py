@@ -39,20 +39,30 @@ class MetricLogger:
         self.echo = echo
         self._t0 = time.time()
 
+    _RESERVED = ("kind", "step", "wall_s")
+
     def log(self, step: int, metrics: Dict, kind: str = "train") -> None:
         rec = {"kind": kind, "step": int(step),
                "wall_s": round(time.time() - self._t0, 3)}
+        keys = []
         for k, v in metrics.items():
+            # a metric named like a bookkeeping field must not corrupt the
+            # record's step/kind/wall_s columns
+            key = k if k not in self._RESERVED else k + "_metric"
+            keys.append(key)
             try:
-                rec[k] = float(v)
+                rec[key] = float(v)
             except (TypeError, ValueError):
-                rec[k] = v
+                try:                 # small arrays → lists; never let a
+                    rec[key] = np.asarray(v).tolist()   # non-serializable
+                except Exception:    # value abort the training loop from
+                    rec[key] = str(v)                   # inside a log call
         if self.writer:
             with open(self.path, "a") as f:
-                f.write(json.dumps(rec) + "\n")
+                f.write(json.dumps(rec, default=str) + "\n")
         if self.echo:
             body = " ".join(f"{k}={rec[k]:.5g}" if isinstance(rec[k], float)
-                            else f"{k}={rec[k]}" for k in metrics)
+                            else f"{k}={rec[k]}" for k in keys)
             print(f"[{kind} {step}] {body}", flush=True)
 
     def save_arrays(self, name: str, **arrays) -> str:

@@ -1,6 +1,8 @@
 """Training-layer tests: step mechanics, BN EMA folding math, GP LR
 schedule, checkpoint roundtrip + resume (SURVEY.md §4)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -63,6 +65,26 @@ def test_checkpoint_roundtrip(trained, tmp_path):
                     jax.tree_util.tree_leaves(restored.opt_states)):
         np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
     assert int(restored.step) == int(state.step)
+
+
+def test_save_checkpoint_path_contract(trained, tmp_path):
+    """Dotted basename → explicit FILE; existing dir or trailing slash →
+    directory (writes model.ckpt inside) — checkpoint.py's disambiguation
+    rule for dotted directory names like 'runs/v1.5'."""
+    cfg, _, _, state, _, _ = trained
+    p1 = save_checkpoint(str(tmp_path / "final.msgpack"), cfg, state)
+    assert p1.endswith("final.msgpack") and os.path.isfile(p1)
+    cfg2, _ = load_checkpoint(p1)           # loadable from the file path
+    assert cfg2.g_dim == cfg.g_dim
+    # trailing separator forces the directory branch even with a dot
+    p2 = save_checkpoint(str(tmp_path / "run.v2") + os.sep, cfg, state)
+    assert p2.endswith("model.ckpt") and os.path.isdir(
+        str(tmp_path / "run.v2"))
+    # an existing dotted directory stays a directory
+    d3 = tmp_path / "v1.5"
+    d3.mkdir()
+    p3 = save_checkpoint(str(d3), cfg, state)
+    assert p3 == str(d3 / "model.ckpt") and os.path.isfile(p3)
 
 
 def test_generation_override_contract():
