@@ -211,6 +211,15 @@ def build_metadata(processed_root: str, classes: Sequence[str],
             if not os.path.isdir(vdir):
                 continue
             frames = sorted(os.listdir(vdir), key=_frame_key)
+            # multi-resolution conversions share the video dir
+            # (image-%d_64x64.png AND image-%d_128x128.png from two
+            # convert_videos runs): keep only THIS metadata's resolution
+            # when the size-suffixed naming is present, else interleaved
+            # duplicate timestamps at two sizes land in one sequence
+            sized = [f for f in frames
+                     if f.endswith(f"_{image_size}x{image_size}.png")]
+            if sized:
+                frames = sized
             if not frames:
                 continue
             # np.array_split semantics like the reference

@@ -41,8 +41,9 @@ from PIL import Image
 
 KTH_CLASSES = ("boxing", "handclapping", "handwaving", "jogging",
                "running", "walking")
-UCF_CLASSES = ("Basketball", "Biking", "Diving", "GolfSwing", "HorseRiding",
-               "SoccerJuggling", "Surfing", "TennisSwing", "TrampolineJumping")
+# the reference's 9-class UCF-101 subset and target ids (ucf.py:17-18)
+UCF_CLASSES = ("BenchPress", "BodyWeightSquats", "CleanAndJerk", "PullUps",
+               "PushUps", "Shotput", "TennisSwing", "Lunges", "Fencing")
 
 
 def _read_png(path: str, width: int, gray: bool) -> np.ndarray:
@@ -76,6 +77,11 @@ def _read_sequence(paths, width: int, gray: bool) -> np.ndarray:
 class BAIR:
     """BAIR robot-push 64x64 RGB, 30-frame trajectories."""
 
+    # every integer index is a valid fresh (seed, index) draw — the Loader
+    # widens its shuffle domain past len() so the sampled trajectory space
+    # matches the reference's fresh-randomness-per-access breadth
+    INDEX_PURE = True
+
     def __init__(self, train: bool = True, data_root: str = ".",
                  seq_len: int = 30, image_size: int = 64, seed: int = 1):
         self.root = os.path.join(
@@ -94,7 +100,6 @@ class BAIR:
                     tp = os.path.join(sp, traj)
                     if os.path.isdir(tp):
                         self.dirs.append(tp)
-        self._cursor = 0
 
     def __len__(self) -> int:
         return 10000  # reference bair.py:61 hardcodes epoch length
@@ -119,6 +124,7 @@ class _MetaVideoDataset:
 
     classes: Sequence[str] = ()
     gray: bool = False
+    INDEX_PURE = True        # see BAIR.INDEX_PURE
 
     def __init__(self, train: bool = True, data_root: str = ".",
                  seq_len: int = 20, image_size: int = 64, seed: int = 1):
@@ -135,40 +141,55 @@ class _MetaVideoDataset:
         return os.path.join(self.root, f"{split}_meta{w}x{w}.{ext}")
 
     def _load_meta(self, train: bool) -> Optional[dict]:
-        # Reference on-disk layout first (kth.py:28-30): one JSON list of
-        # records per class at processed/<class>/<split>_meta<W>x<W>.json.
+        # Reference on-disk layout first: one metadata file of records per
+        # class at processed/<class>/<split>_meta<W>x<W>.{json,pt} — the
+        # reference reads per-class JSON for KTH (kth.py:28-30) and
+        # per-class torch pickles for UCF (ucf.py:31).
         split = "train" if train else "test"
         w = self.image_size
-        paths = {c: os.path.join(self.root, "processed", c,
-                                 f"{split}_meta{w}x{w}.json")
-                 for c in self.classes}
-        found = {c: p for c, p in paths.items() if os.path.exists(p)}
-        if found:
-            # the reference (kth.py:28-30) opens every class file
-            # unconditionally and crashes on a missing one — a partial set
-            # would silently narrow the sampled class distribution
-            missing = [c for c in self.classes if c not in found]
+        paths = {}
+        for c in self.classes:
+            for ext in ("json", "pt"):
+                p = os.path.join(self.root, "processed", c,
+                                 f"{split}_meta{w}x{w}.{ext}")
+                if os.path.exists(p):
+                    paths.setdefault(c, p)
+        if paths:
+            # the reference opens every class file unconditionally and
+            # crashes on a missing one — a partial set would silently
+            # narrow the sampled class distribution
+            missing = [c for c in self.classes if c not in paths]
             if missing:
                 raise FileNotFoundError(
-                    f"per-class metadata present for {sorted(found)} but "
-                    f"missing for {missing} (expected e.g. "
-                    f"{paths[missing[0]]}); convert all classes or remove "
-                    "the partial layout")
-            per_class = {}
-            for c, p in found.items():
-                with open(p) as f:
-                    per_class[c] = json.load(f)
-            return per_class
+                    f"per-class metadata present for {sorted(paths)} but "
+                    f"missing for {missing} (expected e.g. processed/"
+                    f"{missing[0]}/{split}_meta{w}x{w}.json); convert all "
+                    "classes or remove the partial layout")
+            return {c: self._read_meta_file(p) for c, p in paths.items()}
         jpath = self._meta_path(train, "json")
         if os.path.exists(jpath):
             with open(jpath) as f:
                 return json.load(f)
         ppath = self._meta_path(train, "pt")
-        if os.path.exists(ppath):  # reference-format torch pickle (ucf.py:31)
-            import torch
-            raw = torch.load(ppath)
+        if os.path.exists(ppath):
+            raw = self._read_meta_file(ppath)
             return {c: raw[c] for c in raw}
         return None
+
+    @staticmethod
+    def _read_meta_file(path: str):
+        if path.endswith(".json"):
+            with open(path) as f:
+                return json.load(f)
+        # reference-format torch pickle (meta_creator.py stores lists of
+        # numpy string arrays); torch>=2.6 defaults weights_only=True,
+        # which rejects pickled numpy — this is the user's own metadata
+        # file, the same trust the reference extends to it (ucf.py:31)
+        import torch
+        try:
+            return torch.load(path, weights_only=False)
+        except TypeError:              # older torch without the kwarg
+            return torch.load(path)
 
     def __len__(self) -> int:
         return len(self.classes) * 100 if self.train else 1000
@@ -216,7 +237,9 @@ class _MetaVideoDataset:
             if len(chunk) >= self.seq_len:
                 break
         cls_id = self.classes.index(cls)
-        if not chunk:
+        # len(), not truthiness: chunks from .pt metadata are numpy string
+        # arrays (meta_creator.py's np.array_split), whose bool() raises
+        if len(chunk) == 0:
             raise ValueError(
                 f"metadata record {rec.get('vid')!r} in class {cls!r} "
                 "contains an empty frame chunk — rebuild the metadata for "

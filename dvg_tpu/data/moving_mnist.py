@@ -98,7 +98,7 @@ class MovingMNIST:
         if digits is None:
             digits = _procedural_digits()
         if digit_size != digits.shape[-1]:
-            digits = _resize_nearest(digits, digit_size)
+            digits = _resize_bilinear(digits, digit_size)
         self.digits = digits
 
     def __len__(self) -> int:
@@ -112,7 +112,14 @@ class MovingMNIST:
 
     # -- vectorized batch (the fast path) ------------------------------------
     def sample_batch(self, batch_size: int, start_index: int = 0) -> np.ndarray:
-        """(T, B, H, W, 1) float32 batch; batch row b uses index start+b."""
+        """(T, B, H, W, 1) float32 batch.
+
+        Deterministic in (seed, start_index, batch_size) — the WHOLE batch
+        draws from one interleaved vectorized stream, so row b is NOT
+        `ds[start_index + b]` and a different batch_size yields different
+        data for the same start. Consumers that need row-sliceable batches
+        (the multi-host Loader) must generate the full global batch and
+        slice it (pipeline.py::_build_process_local does exactly this)."""
         rng = np.random.default_rng((self.seed, start_index, batch_size))
         return self._generate(rng, batch_size)
 
@@ -157,16 +164,24 @@ class MovingMNIST:
                 if self.deterministic:
                     vel = np.where(under | over, -vel, vel)
                 else:
-                    # stochastic bounce: redraw speed away from the wall
-                    # (reference moving_mnist.py: new random velocity on hit)
+                    # stochastic bounce (reference moving_mnist.py:56-79):
+                    # each colliding axis redraws AWAY from its wall and
+                    # the other axis redraws over the full [-4,4]. The
+                    # reference runs the y branch THEN the x branch, so on
+                    # a simultaneous corner hit the x branch's full-range
+                    # dy redraw OVERWRITES the y branch's away-from-wall
+                    # dy: final corner velocity is (dy∈[-4,4], dx away).
                     new_mag = rng.integers(1, 5, (n, 2))
                     new_other = rng.integers(-4, 5, (n, 2))
-                    vel = np.where(under, new_mag, vel)
-                    vel = np.where(over, -new_mag, vel)
-                    # the non-colliding axis also gets redrawn in the
-                    # reference's stochastic branch
-                    hit_any = (under | over).any(axis=1, keepdims=True)
-                    vel = np.where(hit_any & ~(under | over), new_other, vel)
+                    away = np.where(under, new_mag, -new_mag)   # per axis
+                    hit = under | over
+                    y_hit, x_hit = hit[:, 0:1], hit[:, 1:2]
+                    dy = np.where(x_hit, new_other[:, 0:1],
+                                  np.where(y_hit, away[:, 0:1], vel[:, 0:1]))
+                    dx = np.where(x_hit, away[:, 1:2],
+                                  np.where(y_hit, new_other[:, 1:2],
+                                           vel[:, 1:2]))
+                    vel = np.concatenate([dy, dx], axis=1)
                 pos = np.where(under, 0, np.where(over, lim - 1, pos))
             traj[t] = pos
             pos = pos + vel
@@ -228,8 +243,18 @@ def _assemble_body(traj, sprites, b: int, size: int, nd: int):
     return jnp.clip(x, 0.0, 1.0)
 
 
-def _resize_nearest(imgs: np.ndarray, out: int) -> np.ndarray:
-    n, h, w = imgs.shape
-    ys = (np.arange(out) * h // out)
-    xs = (np.arange(out) * w // out)
-    return imgs[:, ys][:, :, xs]
+def _resize_bilinear(imgs: np.ndarray, out: int) -> np.ndarray:
+    """28→32 digit upscale matching the reference's torchvision
+    `transforms.Scale(32)` (moving_mnist.py:24): PIL BILINEAR on the
+    uint8 image, THEN the /255 to float — PIL rounds the interpolated
+    values to uint8 before ToTensor does the division, so resizing the
+    float image directly would differ in the low bits. One-time cost at
+    dataset construction."""
+    from PIL import Image
+
+    u8 = (np.clip(imgs, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    res = np.empty((imgs.shape[0], out, out), np.uint8)
+    for i in range(imgs.shape[0]):
+        res[i] = np.asarray(Image.fromarray(u8[i], mode="L")
+                            .resize((out, out), Image.BILINEAR))
+    return res.astype(np.float32) / 255.0

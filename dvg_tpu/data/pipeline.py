@@ -146,7 +146,13 @@ class Loader:
         n = len(self.dataset)
         if self.shuffle:
             rng = np.random.default_rng((self.seed, step))
-            return rng.integers(0, n, self.batch_size)
+            # INDEX_PURE datasets (BAIR/KTH/UCF: __getitem__ is a pure
+            # function of ANY integer index) get a widened shuffle domain:
+            # capping at len() would limit the whole training run to n
+            # distinct (video, chunk, start) windows, where the reference
+            # draws fresh np.random windows on every access (kth.py:37-44)
+            hi = n * 65536 if getattr(self.dataset, "INDEX_PURE", False) else n
+            return rng.integers(0, hi, self.batch_size)
         start = (step * self.batch_size) % n
         return (start + np.arange(self.batch_size)) % n
 
@@ -222,13 +228,21 @@ class Loader:
 
     # -- endless prefetching iterator ----------------------------------------
     def __iter__(self) -> Iterator:
-        """Keep `prefetch` batch futures in flight on the persistent batch
+        return self.iter_from(0)
+
+    def iter_from(self, start_step: int) -> Iterator:
+        """Endless prefetching iterator whose first batch is `start_step`'s.
+        A resumed run (cli/train.py --resume) continues the (seed, step)
+        data stream at the checkpointed step instead of replaying the
+        sequence already trained on from step 0.
+
+        Keeps `prefetch` batch futures in flight on the persistent batch
         pool; exceptions surface to the consumer in step order (in-flight
         successors are cancelled first). `stop()` ends iteration cleanly."""
         _, bpool = self._pools()
-        futures = deque(bpool.submit(self._build, s)
+        futures = deque(bpool.submit(self._build, start_step + s)
                         for s in range(self.prefetch))
-        step = self.prefetch
+        step = start_step + self.prefetch
         while True:
             fut = futures.popleft()
             try:

@@ -478,3 +478,164 @@ def test_build_metadata_array_split_covers_all_frames(tmp_path):
     rec = json.load(open(path))["boxing"][0]
     sizes = [len(c) for c in rec["files"]]
     assert sizes == [4, 3, 3, 3] and sum(sizes) == rec["n"] == 13
+
+
+# -- stochastic bounce law (reference moving_mnist.py:56-79) -----------------
+
+class _ScriptedRng:
+    """Stands in for np.random.Generator: returns queued arrays for each
+    successive integers() call so wall hits can be forced deterministically."""
+
+    def __init__(self, script):
+        self.script = [np.asarray(s, dtype=np.int64) for s in script]
+
+    def integers(self, *a, **k):
+        return self.script.pop(0)
+
+
+def _scripted_traj(start, vel, new_mag, new_other, deterministic=False):
+    ds = MovingMNIST(train=True, seq_len=3, num_digits=1, image_size=64,
+                     deterministic=deterministic)
+    script = [[0], [start], [vel]]
+    if not deterministic:
+        script += [[new_mag], [new_other]]
+    traj, _ = ds._trajectories(_ScriptedRng(script), 1)
+    return traj[:, 0]
+
+
+def test_bounce_single_axis_redraws_away_and_other_full_range():
+    """Reference moving_mnist.py:56-79: the colliding axis redraws AWAY from
+    its wall (magnitude = new_mag draw), the other axis redraws over the
+    full range (new_other draw)."""
+    # y-under: away dy = +new_mag[0], dx = new_other[1]
+    t = _scripted_traj(start=[2, 10], vel=[-4, 0],
+                       new_mag=[3, 2], new_other=[1, 1])
+    assert t[1].tolist() == [0, 10]        # clamped to the wall
+    assert t[2].tolist() == [3, 11]        # moved by (+3 away, +1 redrawn)
+    # x-over: away dx = -new_mag[1], dy = new_other[0]
+    t = _scripted_traj(start=[10, 30], vel=[0, 4],
+                       new_mag=[3, 2], new_other=[1, 1])
+    assert t[1].tolist() == [10, 31]       # clamped to lim-1 = 31
+    assert t[2].tolist() == [11, 29]       # moved by (+1 redrawn, -2 away)
+
+
+def test_bounce_corner_x_branch_overwrites_dy():
+    """On a simultaneous corner hit the reference's x branch runs AFTER the
+    y branch, so its full-range dy redraw overwrites the y branch's
+    away-from-wall dy: final velocity is (dy = new_other, dx = away)."""
+    # both under
+    t = _scripted_traj(start=[1, 1], vel=[-4, -4],
+                       new_mag=[3, 2], new_other=[1, 1])
+    assert t[1].tolist() == [0, 0]
+    assert t[2].tolist() == [1, 2]         # dy = new_other[0]=1, dx = +2 away
+    # y-under, x-over
+    t = _scripted_traj(start=[1, 30], vel=[-4, 4],
+                       new_mag=[3, 2], new_other=[1, 1])
+    assert t[1].tolist() == [0, 31]
+    assert t[2].tolist() == [1, 29]        # dy = new_other[0]=1, dx = -2 away
+
+
+def test_bounce_deterministic_reflects_only_colliding_axis():
+    t = _scripted_traj(start=[2, 10], vel=[-4, 1],
+                       new_mag=None, new_other=None, deterministic=True)
+    assert t[1].tolist() == [0, 11]
+    assert t[2].tolist() == [4, 12]        # dy flipped, dx untouched
+
+
+def test_resize_bilinear_uint8_quantized_like_torchvision():
+    """The 28->32 upscale mirrors torchvision Scale(32)+ToTensor
+    (reference moving_mnist.py:24): PIL bilinear on the uint8 image, THEN
+    /255 — so every output value sits on the uint8 grid and edges are
+    interpolated (nearest-neighbor would keep only {0,1})."""
+    from dvg_tpu.data.moving_mnist import _resize_bilinear
+
+    rng = np.random.default_rng(0)
+    imgs = rng.random((3, 28, 28), dtype=np.float32)
+    out = _resize_bilinear(imgs, 32)
+    assert out.shape == (3, 32, 32) and out.dtype == np.float32
+    np.testing.assert_allclose(out * 255.0, np.round(out * 255.0), atol=1e-4)
+    assert out.min() >= 0.0 and out.max() <= 1.0
+
+    const = np.full((1, 28, 28), 0.5, np.float32)
+    want = np.float32(int(0.5 * 255.0 + 0.5)) / np.float32(255.0)
+    assert np.all(_resize_bilinear(const, 32) == want)
+
+    step = np.zeros((1, 28, 28), np.float32)
+    step[:, :, 14:] = 1.0
+    o = _resize_bilinear(step, 32)[0]
+    assert ((o > 0.0) & (o < 1.0)).any()   # bilinear blends the edge
+
+
+# -- resume continuation and the INDEX_PURE shuffle domain -------------------
+
+def test_loader_iter_from_continues_stream():
+    """--resume feeds the stream from the checkpointed step: iter_from(k)'s
+    first batch equals next_batch(k), not the step-0 replay."""
+    ds = MovingMNIST(train=True, seq_len=3, num_digits=1, image_size=64)
+    ld = Loader(ds, 2, seed=7, num_threads=1)
+    it = ld.iter_from(5)
+    try:
+        first = np.asarray(next(it))
+        second = np.asarray(next(it))
+    finally:
+        ld.stop()
+    np.testing.assert_array_equal(first, np.asarray(ld2_batch(ds, 5)))
+    np.testing.assert_array_equal(second, np.asarray(ld2_batch(ds, 6)))
+
+
+def ld2_batch(ds, step):
+    ld = Loader(ds, 2, seed=7, num_threads=1)
+    return ld.next_batch(step)
+
+
+def test_index_pure_shuffle_domain_exceeds_len(tmp_path):
+    """INDEX_PURE frame datasets widen the shuffle domain past len() so a
+    training run samples more distinct (video, chunk, start) windows than
+    len(dataset) — the reference draws fresh np.random windows per access
+    (kth.py:37-44), so capping at len() would narrow the distribution."""
+    root = str(tmp_path)
+    _make_png_tree(root, ("boxing", "walking"))
+    build_metadata(root, ("boxing", "walking"), image_size=64, split="train")
+
+    class TinyKTH(KTH):
+        classes = ("boxing", "walking")
+    ds = TinyKTH(train=True, data_root=root, seq_len=3, image_size=64)
+    assert ds.INDEX_PURE
+    ld = Loader(ds, batch_size=64, seed=0, num_threads=1)
+    idx = ld._indices(0)
+    assert idx.max() >= len(ds), "shuffle domain must exceed len()"
+    # every widened index is a valid pure draw
+    seq, cid = ds[int(idx.max())]
+    assert seq.shape == (3, 64, 64, 1) and 0 <= cid < 2
+    # non-pure datasets keep the [0, len) domain
+    class Plain:
+        def __len__(self):
+            return 10
+    assert Loader(Plain(), 64, seed=0)._indices(0).max() < 10
+
+
+def test_ucf_per_class_pt_metadata(tmp_path):
+    """The reference's real UCF layout: per-class torch pickles at
+    processed/<cls>/train_meta64x64.pt (ucf.py:31) whose records hold
+    numpy string ARRAYS for the chunks (meta_creator.py's np.array_split)
+    — both the probe and the ndarray-chunk handling must cope."""
+    import torch
+
+    from dvg_tpu.data.frames import UCF
+
+    root = str(tmp_path)
+    classes = ("BenchPress", "Fencing")
+    _make_png_tree(root, classes, vids=1, frames=8)
+    for cls in classes:
+        files = np.array([f"image-{t}_16x16.png" for t in range(8)])
+        rec = {"vid": "vid0", "files": np.array_split(files, 4), "n": 8}
+        torch.save([rec], os.path.join(root, "processed", cls,
+                                       "train_meta64x64.pt"))
+
+    class TinyUCF(UCF):
+        classes = ("BenchPress", "Fencing")
+
+    ds = TinyUCF(train=True, data_root=root, seq_len=2, image_size=64)
+    seq, cls_id = ds[0]
+    assert seq.shape == (2, 64, 64, 3) and 0 <= cls_id < 2
+    np.testing.assert_array_equal(ds[3][0], ds[3][0])
