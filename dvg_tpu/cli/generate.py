@@ -78,6 +78,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dump a jax.profiler trace of the first eval batch")
     p.add_argument("--finn", action="store_true",
                    help="Finn-variant SSIM/PSNR (utils.py:237-301)")
+    p.add_argument("--trigger_sigma", type=float, default=2.01,
+                   help="σ multiple in the GP-trigger threshold "
+                        "(reference: frozen 2.01, generate_frames.py:230)")
+    p.add_argument("--trigger_margin", type=float, default=0.0,
+                   help="absolute margin subtracted from the trigger "
+                        "threshold (0 = reference-exact; >0 forks more "
+                        "eagerly — the only knob that can fire on a "
+                        "near-constant variance signal)")
     p.add_argument("--full_cov", action="store_true",
                    help="reference-exact batch-correlated GP sampling at "
                         "fork steps (generate_frames.py:170 .rsample()) "
@@ -114,6 +122,8 @@ def main(argv=None) -> int:
                       dataset=args.dataset or cfg.dataset,
                       data_root=args.data_root,
                       gp_trigger_flag=args.gp_trigger_flag,
+                      trigger_sigma=args.trigger_sigma,
+                      trigger_margin=args.trigger_margin,
                       nsample=args.nsample, dtype=args.dtype,
                       use_pallas=use_pallas,
                       full_cov_sampling=args.full_cov,

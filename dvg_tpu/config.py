@@ -66,6 +66,14 @@ class DVGConfig:
 
     # -- generation (reference generate_frames.py:27, 137) --
     gp_trigger_flag: bool = False
+    trigger_sigma: float = 2.01   # reference: (2 + 0.01·depth) with depth
+    #   frozen at 1 (generate_frames.py:230; the loop never increments it)
+    trigger_margin: float = 0.0   # subtracted from the trigger threshold:
+    #   value > mean + trigger_sigma·std − trigger_margin. 0.0 reproduces
+    #   the reference exactly; >0 makes the adaptive path MORE eager to
+    #   fork (sensitivity control the reference hardcodes away — a
+    #   near-constant variance signal has std≈0, where no σ multiple can
+    #   ever fire and only an absolute margin can)
     nsample: int = 100
     full_cov_sampling: bool = False  # reference-exact batch-correlated GP
     #   .rsample() at fork steps (generate_frames.py:170) instead of the

@@ -472,8 +472,12 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
             h, _ = enc(x_in)
             value = var_norm(h)                          # (B,)
             window = jnp.concatenate([window[1:], value[None]], axis=0)
+            # reference: mean + 2.01·std (depth frozen at 1); the sigma
+            # multiple and absolute margin are config knobs whose defaults
+            # reproduce that exactly (config.py trigger_sigma/-margin)
             thresh = (jnp.mean(window, axis=0)
-                      + 2.01 * jnp.std(window, axis=0))  # depth frozen at 1
+                      + cfg.trigger_sigma * jnp.std(window, axis=0)
+                      - cfg.trigger_margin)
             h_pred, hidden_new = model.predict_latent(params, hidden, h)
             # the reference's trigger branch draws the batch-correlated
             # gpytorch .rsample() (generate_frames.py:292) — honor

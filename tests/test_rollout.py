@@ -121,6 +121,28 @@ def test_gp_trigger_path(setup):
     assert np.all(np.isfinite(np.asarray(frames)))
 
 
+def test_trigger_margin_forces_forks(setup):
+    """cfg.trigger_margin (sensitivity knob, default 0.0 = reference-exact
+    threshold): a margin ≫ the variance signal makes EVERY post-warmup
+    step fork — the deterministic way to drive the trigger branch, since a
+    σ-relative threshold can never fire on a constant signal (window
+    std = 0 ⇒ threshold == value)."""
+    cfg, model, params, stats, cache, fns, x = setup
+    cfg3 = DVGConfig(dataset="smmnist", channels=1, image_width=64,
+                     batch_size=3, n_past=2, n_future=13, n_eval=15,
+                     g_dim=8, rnn_size=16, num_inducing_points=4)
+    x3 = jax.random.uniform(jax.random.PRNGKey(6), (15, 3, 64, 64, 1))
+    key = jax.random.PRNGKey(7)
+    fns_m = make_rollout_fns(model, cfg3.replace(trigger_margin=1e6),
+                             nsample=2)
+    frames, diag = fns_m.gp_trigger(params, stats, cache, x3, key)
+    assert np.asarray(diag["triggers"]).all()
+    assert np.all(np.isfinite(np.asarray(frames)))
+    # (the default-margin law is pinned against the torch-executed
+    # reference in test_gp_trigger_matches_python_reference and the
+    # trained-model verbatim test)
+
+
 def test_best_of_n():
     m = jnp.asarray(np.random.RandomState(0).rand(4, 6, 5))   # (B, S, T)
     idx, best = best_of_n(m)
