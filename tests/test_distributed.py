@@ -104,6 +104,61 @@ def _free_port():
     return port
 
 
+def _worker_env(port: int, pid: int) -> dict:
+    """Environment for one spawned worker: 4 virtual CPU devices and the
+    DVG_COORDINATOR contract. The device-count rewrite substitutes the
+    flag's VALUE whatever it inherits (a literal 'device_count=8' replace
+    would silently no-op on e.g. an inherited =16)."""
+    import re
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" in flags:
+        flags = re.sub(r"(xla_force_host_platform_device_count)=\d+",
+                       r"\1=4", flags)
+    else:
+        flags += " --xla_force_host_platform_device_count=4"
+    env["XLA_FLAGS"] = flags.strip()
+    env["DVG_COORDINATOR"] = f"localhost:{port}"
+    env["DVG_NUM_PROCESSES"] = "2"
+    env["DVG_PROCESS_ID"] = str(pid)
+    return env
+
+
+def _run_workers(tmp_path, script, argvs, port, tag, timeout=900):
+    """Spawn one worker per argv list and wait for all; stdout goes to a
+    FILE per worker (workers rendezvous at distributed barriers — with a
+    PIPE, a chatty worker filling the ~64KB buffer while the parent waits
+    on its sibling would deadlock until the timeout). Asserts rc==0 and
+    the tag line; returns each worker's full log."""
+    procs, logfiles = [], []
+    for pid, argv in enumerate(argvs):
+        lf = open(str(tmp_path / f"worker_{tag}_{pid}.log"), "w+")
+        logfiles.append(lf)
+        procs.append(subprocess.Popen(
+            [sys.executable, script] + list(argv),
+            env=_worker_env(port, pid),
+            stdout=lf, stderr=subprocess.STDOUT, text=True))
+    try:
+        for p in procs:
+            try:
+                p.wait(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+    finally:
+        logs = []
+        for lf in logfiles:
+            lf.seek(0)
+            logs.append(lf.read())
+            lf.close()
+    for pid, (p, log) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0 and tag in log, (
+            f"{tag} process {pid} failed:\n{log[-4000:]}")
+    return logs
+
+
 @pytest.mark.perf        # wall-clock heavy: 2 concurrent CPU compiles
 def test_two_process_distributed_training(tmp_path):
     port = _free_port()
@@ -111,37 +166,8 @@ def test_two_process_distributed_training(tmp_path):
     with open(script, "w") as f:
         f.write(WORKER.format(repo=REPO, cli_args=CLI_ARGS))
 
-    procs = []
-    outs = []
-    for pid in range(2):
-        env = dict(os.environ)
-        env["JAX_PLATFORMS"] = "cpu"
-        flags = env.get("XLA_FLAGS", "")
-        if "device_count" not in flags:
-            flags += " --xla_force_host_platform_device_count=4"
-        else:
-            flags = flags.replace("device_count=8", "device_count=4")
-        env["XLA_FLAGS"] = flags.strip()
-        env["DVG_COORDINATOR"] = f"localhost:{port}"
-        env["DVG_NUM_PROCESSES"] = "2"
-        env["DVG_PROCESS_ID"] = str(pid)
-        out_dir = str(tmp_path / f"proc{pid}")
-        outs.append(out_dir)
-        procs.append(subprocess.Popen(
-            [sys.executable, script, out_dir], env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-    logs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=900)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        logs.append(out)
-    for pid, (p, log) in enumerate(zip(procs, logs)):
-        assert p.returncode == 0 and "WORKER_OK" in log, (
-            f"process {pid} failed:\n{log[-4000:]}")
+    outs = [str(tmp_path / f"proc{pid}") for pid in range(2)]
+    _run_workers(tmp_path, script, [[o] for o in outs], port, "WORKER_OK")
 
     # coordinator wrote the artifacts; the other process wrote NOTHING
     ckpt = os.path.join(outs[0], "model.ckpt")
@@ -175,7 +201,9 @@ def test_two_process_distributed_training(tmp_path):
     from jax.tree_util import tree_flatten_with_path
     got_flat = tree_flatten_with_path(got["params"])[0]
     ref_flat = tree_flatten_with_path(ref["params"])[0]
-    lr = 0.002
+    from dvg_tpu.config import DVGConfig
+    lr = DVGConfig().lr          # CLI_ARGS passes no --lr: bound tracks
+    #                              the config default the workers ran with
     for (path, a), (_, b) in zip(ref_flat, got_flat):
         keys = [getattr(p, "key", None) for p in path]
         a, b = np.asarray(a), np.asarray(b)
@@ -198,32 +226,11 @@ def test_two_process_distributed_training(tmp_path):
     # the two processes would train different epoch ranges from different
     # params (cli/train.py's broadcast_one_to_all path)
     port2 = _free_port()
-    procs2 = []
-    for pid in range(2):
-        env = dict(os.environ)
-        env["JAX_PLATFORMS"] = "cpu"
-        flags = env.get("XLA_FLAGS", "")
-        if "device_count" not in flags:
-            flags += " --xla_force_host_platform_device_count=4"
-        else:
-            flags = flags.replace("device_count=8", "device_count=4")
-        env["XLA_FLAGS"] = flags.strip()
-        env["DVG_COORDINATOR"] = f"localhost:{port2}"
-        env["DVG_NUM_PROCESSES"] = "2"
-        env["DVG_PROCESS_ID"] = str(pid)
-        procs2.append(subprocess.Popen(
-            [sys.executable, script, outs[pid], "--resume", "--niter", "2"],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            text=True))
-    for pid, p in enumerate(procs2):
-        try:
-            log, _ = p.communicate(timeout=900)
-        except subprocess.TimeoutExpired:
-            for q in procs2:
-                q.kill()
-            raise
-        assert p.returncode == 0 and "WORKER_OK" in log, (
-            f"resume process {pid} failed:\n{log[-4000:]}")
+    logs2 = _run_workers(
+        tmp_path, script,
+        [[outs[pid], "--resume", "--niter", "2"] for pid in range(2)],
+        port2, "WORKER_OK")
+    for pid, log in enumerate(logs2):
         # BOTH processes must resume at epoch 1 — the non-coordinator has
         # no local checkpoint and gets the state via the broadcast
         assert "resuming at epoch 1" in log, f"process {pid}:\n{log[-2000:]}"
@@ -241,33 +248,9 @@ def test_two_process_sample_parallel_eval(tmp_path):
     with open(script, "w") as f:
         f.write(EVAL_WORKER.format(repo=REPO))
 
-    procs, outs = [], []
-    for pid in range(2):
-        env = dict(os.environ)
-        env["JAX_PLATFORMS"] = "cpu"
-        flags = env.get("XLA_FLAGS", "")
-        if "device_count" not in flags:
-            flags += " --xla_force_host_platform_device_count=4"
-        else:
-            flags = flags.replace("device_count=8", "device_count=4")
-        env["XLA_FLAGS"] = flags.strip()
-        env["DVG_COORDINATOR"] = f"localhost:{port}"
-        env["DVG_NUM_PROCESSES"] = "2"
-        env["DVG_PROCESS_ID"] = str(pid)
-        out = str(tmp_path / f"eval{pid}.npz")
-        outs.append(out)
-        procs.append(subprocess.Popen(
-            [sys.executable, script, out], env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-    for pid, p in enumerate(procs):
-        try:
-            log, _ = p.communicate(timeout=900)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        assert p.returncode == 0 and "EVAL_WORKER_OK" in log, (
-            f"eval process {pid} failed:\n{log[-4000:]}")
+    outs = [str(tmp_path / f"eval{pid}.npz") for pid in range(2)]
+    _run_workers(tmp_path, script, [[o] for o in outs], port,
+                 "EVAL_WORKER_OK")
 
     # single-process reference on this test process's own 8-device mesh
     import jax
@@ -296,13 +279,17 @@ def test_two_process_sample_parallel_eval(tmp_path):
     for path in outs:
         with np2.load(path) as z:
             got.update({k: z[k] for k in z.files})
+    # EVERY addressable sample shard from both processes (8 devices × 1
+    # sample each) must match — not just the processes' first shards
+    assert len([k for k in got if k.startswith("ssim_")]) == 8
     for name in ("ssim", "psnr", "mse"):
-        for start in range(0, 8, 4):
-            shard = got[f"{name}_{start}"]
+        for k, shard in got.items():
+            if not k.startswith(name + "_"):
+                continue
+            start = int(k[len(name) + 1:])
             np2.testing.assert_allclose(
                 shard, ref[name][start:start + shard.shape[0]],
-                rtol=1e-5, atol=1e-6,
-                err_msg=f"{name} samples {start}..")
+                rtol=1e-5, atol=1e-6, err_msg=k)
 
 
 EVAL2D_WORKER = """
@@ -372,33 +359,9 @@ def test_two_process_2d_sample_data_mesh_eval(tmp_path):
     with open(script, "w") as f:
         f.write(EVAL2D_WORKER.format(repo=REPO))
 
-    procs, outs = [], []
-    for pid in range(2):
-        env = dict(os.environ)
-        env["JAX_PLATFORMS"] = "cpu"
-        flags = env.get("XLA_FLAGS", "")
-        if "device_count" not in flags:
-            flags += " --xla_force_host_platform_device_count=4"
-        else:
-            flags = flags.replace("device_count=8", "device_count=4")
-        env["XLA_FLAGS"] = flags.strip()
-        env["DVG_COORDINATOR"] = f"localhost:{port}"
-        env["DVG_NUM_PROCESSES"] = "2"
-        env["DVG_PROCESS_ID"] = str(pid)
-        out = str(tmp_path / f"eval2d_{pid}.npz")
-        outs.append(out)
-        procs.append(subprocess.Popen(
-            [sys.executable, script, out], env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-    for pid, p in enumerate(procs):
-        try:
-            log, _ = p.communicate(timeout=900)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        assert p.returncode == 0 and "EVAL2D_WORKER_OK" in log, (
-            f"eval2d process {pid} failed:\n{log[-4000:]}")
+    outs = [str(tmp_path / f"eval2d_{pid}.npz") for pid in range(2)]
+    _run_workers(tmp_path, script, [[o] for o in outs], port,
+                 "EVAL2D_WORKER_OK")
 
     # single-process reference: the SAME 2-D mesh program on this test
     # process's own 8 devices
@@ -485,33 +448,9 @@ def test_two_process_generate_cli(tmp_path):
     with open(script, "w") as f:
         f.write(GEN_WORKER.format(repo=REPO))
 
-    procs, logdirs = [], []
-    for pid in range(2):
-        env = dict(os.environ)
-        env["JAX_PLATFORMS"] = "cpu"
-        flags = env.get("XLA_FLAGS", "")
-        if "device_count" not in flags:
-            flags += " --xla_force_host_platform_device_count=4"
-        else:
-            flags = flags.replace("device_count=8", "device_count=4")
-        env["XLA_FLAGS"] = flags.strip()
-        env["DVG_COORDINATOR"] = f"localhost:{port}"
-        env["DVG_NUM_PROCESSES"] = "2"
-        env["DVG_PROCESS_ID"] = str(pid)
-        logdir = str(tmp_path / f"gen{pid}")
-        logdirs.append(logdir)
-        procs.append(subprocess.Popen(
-            [sys.executable, script, model_dir, logdir], env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-    for pid, p in enumerate(procs):
-        try:
-            log, _ = p.communicate(timeout=900)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        assert p.returncode == 0 and "GEN_WORKER_OK" in log, (
-            f"gen process {pid} failed:\n{log[-4000:]}")
+    logdirs = [str(tmp_path / f"gen{pid}") for pid in range(2)]
+    _run_workers(tmp_path, script, [[model_dir, d] for d in logdirs], port,
+                 "GEN_WORKER_OK")
 
     assert os.path.exists(os.path.join(logdirs[0], "eval_batch0.npz"))
     assert os.path.exists(os.path.join(logdirs[0], "metrics.jsonl"))

@@ -64,31 +64,11 @@ CFG = DVGConfig(dataset="smmnist", channels=1, image_width=64,
 
 @pytest.fixture(scope="module")
 def ref():
-    """Import the verbatim reference model modules off /root/reference."""
-    orig_cuda = torch.Tensor.cuda
-    # lstm.py:24-25 hardcodes .cuda() inside init_hidden
-    torch.Tensor.cuda = lambda self, *a, **k: self
-    saved = {k: sys.modules[k] for k in list(sys.modules)
-             if k == "models" or k.startswith("models.")}
-    for k in saved:
-        del sys.modules[k]
-    sys.path.insert(0, REFERENCE)
-    try:
-        import importlib
-        dcgan_64 = importlib.import_module("models.dcgan_64")
-        vgg_64 = importlib.import_module("models.vgg_64")
-        lstm_mod = importlib.import_module("models.lstm")
-        assert dcgan_64.__file__.startswith(REFERENCE)
-        assert vgg_64.__file__.startswith(REFERENCE)
-        assert lstm_mod.__file__.startswith(REFERENCE)
-        yield SimpleNamespace(dcgan=dcgan_64, vgg=vgg_64, lstm=lstm_mod)
-    finally:
-        sys.path.remove(REFERENCE)
-        for k in [k for k in list(sys.modules)
-                  if k == "models" or k.startswith("models.")]:
-            del sys.modules[k]
-        sys.modules.update(saved)
-        torch.Tensor.cuda = orig_cuda
+    """Import the verbatim reference model modules off /root/reference
+    (shared recipe: conftest.reference_modules)."""
+    from conftest import reference_modules
+    with reference_modules() as mods:
+        yield mods
 
 
 def _jax_model(cfg=CFG):
@@ -374,7 +354,7 @@ def _torch_reference_step(ref, cfg, params, stats, x64):
     return SimpleNamespace(
         enc=enc, dec=dec, fp=fp, gp=gp_t, lik=lik_t,
         joint_loss=float(joint_loss), ft_latent=float(ft_latent),
-        gp_loss=float(gp_loss))
+        gp_loss=float(gp_loss), mse_latent=float(mse_latent))
 
 
 def _perturb_gp(params, scale=0.2):
@@ -448,6 +428,15 @@ def test_one_train_step_update_parity(ref):
                                rtol=1e-9)
     np.testing.assert_allclose(j_metrics["ft_gp_nll"], res.gp_loss,
                                rtol=1e-8)
+    # the printed epoch metric (train.py:363: epoch_mse += mse_ctrl +
+    # temp_loss, where mse_ctrl = Σmse_latent/T at train.py:248 and
+    # temp_loss = Σft_latent/T + Σgp_nll/T at train.py:172,198,252-255) —
+    # exactly the combination cli/train.py accumulates per step
+    T = CFG.seq_len_train
+    np.testing.assert_allclose(
+        j_metrics["mse_latent_per_frame"]
+        + (j_metrics["ft_mse_latent"] + j_metrics["ft_gp_nll"]) / T,
+        (res.mse_latent + res.ft_latent + res.gp_loss) / T, rtol=1e-9)
 
     # ---- conv/LSTM parameter updates (read back through the f32 bridge).
     # atol 1e-5: ≫ f32 readback rounding (~1e-7) and ≫ Adam's noise
