@@ -104,7 +104,7 @@ def main(argv=None) -> int:
     from dvg_tpu.models.dvg import DVGModel
     from dvg_tpu.parallel import distributed_init, is_coordinator, make_mesh
     from dvg_tpu.train import (init_train_state, load_checkpoint_blob,
-                               restore_state)
+                               read_checkpoint_bytes_synced, restore_state)
     from dvg_tpu.utils import (MetricLogger, add_border, save_gif_with_text,
                                save_image)
 
@@ -114,7 +114,8 @@ def main(argv=None) -> int:
     dvg_tpu.enable_compilation_cache()
 
     ckpt = os.path.join(args.model_dir, "model.ckpt")
-    saved_cfg, payload = load_checkpoint_blob(_read_ckpt_synced(ckpt, jax))
+    saved_cfg, payload = load_checkpoint_blob(
+        read_checkpoint_bytes_synced(ckpt))
     cfg = saved_cfg.generation_override()
     use_pallas = (jax.default_backend() == "tpu"
                   if args.use_pallas is None else args.use_pallas)
@@ -310,32 +311,6 @@ def main(argv=None) -> int:
         _save_sample_gifs(np.asarray(x), np.asarray(post), frames_of,
                           rows_n, bi, cfg, add_border, save_gif_with_text)
     return 0
-
-
-def _read_ckpt_synced(ckpt_path: str, jax_mod) -> bytes:
-    """Checkpoint bytes, identical on every process.
-
-    Checkpoints are written coordinator-only (cli/train.py), so on per-host
-    local disks a peer may hold a missing or STALE model.ckpt; loading it
-    independently would assemble a 'replicated' global array whose shards
-    differ across hosts — silently wrong eval. The coordinator reads the
-    file and broadcasts the raw bytes (size first, then the blob), so every
-    process decodes the same checkpoint."""
-    if jax_mod.process_count() <= 1:
-        with open(ckpt_path, "rb") as f:
-            return f.read()
-    from jax.experimental import multihost_utils as mhu
-
-    from dvg_tpu.parallel import is_coordinator
-    if is_coordinator():
-        with open(ckpt_path, "rb") as f:
-            blob = np.frombuffer(f.read(), np.uint8)
-    else:
-        blob = np.zeros((0,), np.uint8)
-    n = int(mhu.broadcast_one_to_all(np.int64(blob.size)))
-    if blob.size != n:
-        blob = np.zeros((n,), np.uint8)
-    return np.asarray(mhu.broadcast_one_to_all(blob)).tobytes()
 
 
 def _save_sample_gifs(x, post, frames_of, rows_n, batch_idx, cfg, add_border,

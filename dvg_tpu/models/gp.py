@@ -159,15 +159,16 @@ def posterior_full_cov(params, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full (D, B, B) predictive covariance (for exact correlated rsample,
     matching gpytorch MultivariateNormal.rsample on a batch of inputs).
 
-    Always computed — and returned — in f32, whatever the input dtype:
-    cov = kxx − A·Aᵀ + (A L_S)(A L_S)ᵀ is a catastrophic cancellation
-    (kxx ≈ A·Aᵀ near the inducing set), so assembling it in bf16 loses the
-    digits before any later cast can recover them; the residual can exceed
-    noise+jitter, turning cov indefinite and the downstream Cholesky NaN
-    (same hazard cached_rsample_fullcov documents and avoids)."""
-    f32 = jnp.float32
-    params = jax.tree_util.tree_map(lambda a: jnp.asarray(a, f32), params)
-    xf = jnp.asarray(x, f32)
+    Computed — and returned — in at least f32 (low-precision inputs are
+    PROMOTED; f64 callers keep f64): cov = kxx − A·Aᵀ + (A L_S)(A L_S)ᵀ
+    is a catastrophic cancellation (kxx ≈ A·Aᵀ near the inducing set), so
+    assembling it in bf16 loses the digits before any later cast can
+    recover them; the residual can exceed noise+jitter, turning cov
+    indefinite and the downstream Cholesky NaN (same hazard
+    cached_rsample_fullcov documents and avoids)."""
+    ct = jnp.promote_types(jnp.result_type(x), jnp.float32)
+    params = jax.tree_util.tree_map(lambda a: jnp.asarray(a, ct), params)
+    xf = jnp.asarray(x, ct)
     post = posterior(params, xf)
     kxx = rbf_cross(params, xf, xf)
     cov = (kxx - jnp.einsum("dbm,dcm->dbc", post.a, post.a)
@@ -188,14 +189,14 @@ def rsample(params, lik_params, x, key, full_cov: bool = False) -> jnp.ndarray:
     """
     noise = noise_variance(lik_params)[:, None]
     if full_cov:
-        # posterior_full_cov runs (and returns) f32 regardless of input
-        # dtype — see its docstring; draw in f32, cast back at the end
-        f32 = jnp.float32
+        # posterior_full_cov computes in promote(input, f32) — see its
+        # docstring; draw in that dtype, cast back to the input's at the end
         mean, cov = posterior_full_cov(params, x)
+        ct = mean.dtype
         b = x.shape[1]
-        cov = cov + (jnp.asarray(noise, f32)[..., None] + JITTER) * jnp.eye(b, dtype=f32)
+        cov = cov + (jnp.asarray(noise, ct)[..., None] + JITTER) * jnp.eye(b, dtype=ct)
         l = jnp.linalg.cholesky(cov)
-        eps = jax.random.normal(key, mean.shape, f32)
+        eps = jax.random.normal(key, mean.shape, ct)
         return (mean + jnp.einsum("dbc,dc->db", l, eps)).astype(x.dtype)
     post = posterior(params, x)
     eps = jax.random.normal(key, post.mean.shape, post.mean.dtype)

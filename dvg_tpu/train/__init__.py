@@ -9,11 +9,13 @@ train.py:200-248, 175-198, 146-172) as fully batched XLA programs.
 from dvg_tpu.train.optim import make_optimizers, gp_lr_schedule
 from dvg_tpu.train.step import TrainState, make_train_step, init_train_state
 from dvg_tpu.train.checkpoint import (save_checkpoint, load_checkpoint,
-                                      load_checkpoint_blob, restore_state)
+                                      load_checkpoint_blob,
+                                      read_checkpoint_bytes_synced,
+                                      restore_state)
 
 __all__ = [
     "make_optimizers", "gp_lr_schedule",
     "TrainState", "make_train_step", "init_train_state",
     "save_checkpoint", "load_checkpoint", "load_checkpoint_blob",
-    "restore_state",
+    "read_checkpoint_bytes_synced", "restore_state",
 ]

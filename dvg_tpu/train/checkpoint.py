@@ -98,6 +98,46 @@ def load_checkpoint_blob(blob: bytes, target_state=None
     return cfg, restore_state(target_state, payload)
 
 
+def read_checkpoint_bytes_synced(path: str) -> bytes:
+    """Checkpoint bytes, identical on every process.
+
+    Checkpoints are written coordinator-only (cli/train.py), so on
+    per-host local disks a peer may hold a missing or STALE model.ckpt;
+    loading it independently would assemble a 'replicated' global array
+    whose shards differ across hosts — silently wrong results. The
+    coordinator reads the file and broadcasts the raw bytes (size first,
+    then the blob) for every process to decode (load_checkpoint_blob).
+    A coordinator-side read failure broadcasts a -1 size sentinel so the
+    peers raise instead of hanging in the collective forever.
+
+    (cli/train.py's --resume uses a different mechanism on purpose: it
+    must handle the no-checkpoint-anywhere case by broadcasting the
+    seed-init STATE, not a file.)"""
+    import jax
+    if os.path.isdir(path):
+        path = os.path.join(path, CKPT_NAME)
+    if jax.process_count() <= 1:
+        with open(path, "rb") as f:
+            return f.read()
+    from jax.experimental import multihost_utils as mhu
+    err = None
+    blob = np.zeros((0,), np.uint8)
+    if jax.process_index() == 0:
+        try:
+            with open(path, "rb") as f:
+                blob = np.frombuffer(f.read(), np.uint8)
+        except OSError as e:
+            err = e
+    n = int(mhu.broadcast_one_to_all(
+        np.int64(-1 if err is not None else blob.size)))
+    if n < 0:
+        raise err if err is not None else FileNotFoundError(
+            f"coordinator failed to read checkpoint {path!r}")
+    if blob.size != n:
+        blob = np.zeros((n,), np.uint8)
+    return np.asarray(mhu.broadcast_one_to_all(blob)).tobytes()
+
+
 def restore_state(target_state, payload):
     """Restore a TrainState structure from an ALREADY-LOADED payload dict —
     for callers that need the saved config first to build the skeleton

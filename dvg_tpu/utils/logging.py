@@ -53,10 +53,16 @@ class MetricLogger:
             try:
                 rec[key] = float(v)
             except (TypeError, ValueError):
-                try:                 # small arrays → lists; never let a
-                    rec[key] = np.asarray(v).tolist()   # non-serializable
-                except Exception:    # value abort the training loop from
-                    rec[key] = str(v)                   # inside a log call
+                # small arrays → lists; big ones → a summary (an unbounded
+                # tolist() of an accidental device array would sync the
+                # pipeline and write MB-scale JSON lines from the hot
+                # loop); never let a non-serializable value abort training
+                try:
+                    a = np.asarray(v)
+                    rec[key] = (a.tolist() if a.size <= 64 else
+                                f"<array shape={a.shape} dtype={a.dtype}>")
+                except Exception:
+                    rec[key] = str(v)
         if self.writer:
             with open(self.path, "a") as f:
                 f.write(json.dumps(rec, default=str) + "\n")

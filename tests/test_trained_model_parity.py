@@ -584,11 +584,13 @@ def test_trained_gp_trigger_full_cov_wiring(trained):
     cfg.trigger_margin sensitivity knob (margin ≫ signal ⇒ every step
     forks; the reference default 0.0 is untouched elsewhere and the
     natural threshold law is pinned against torch by the verbatim
-    GPtrigger test above). On the trained model:
+    GPtrigger test above; identical-frames-when-no-trigger-fires is
+    covered by test_rollout.test_gp_trigger_full_cov_untriggered_identity
+    — with every step forking here, the pre-trigger window is warmup
+    only). On the trained model:
 
-      * both sampling laws produce identical frames and identical fork
-        decisions up to each row's first trigger;
-      * at a row's first trigger the frames diverge (different law);
+      * warmup frames and fork decisions agree between the laws;
+      * at the first trigger the frames diverge (different law);
       * white-box replay: the full-cov run's frame at the first trigger
         equals decode(from_gp_layout(cached_rsample_fullcov(h))) with the
         scan's own step key — the exact correlated draw, not merely "some
@@ -637,8 +639,7 @@ def test_trained_gp_trigger_full_cov_wiring(trained):
     s0 = int(first.min())                   # premise guarantees s0 in range
     rows = np.where(trig[s0])[0]
     assert len(rows) > 0
-    model, stats = trained.model, trained.stats   # params/cache: the
-    #                              (possibly lengthscale-shifted) pair above
+    model, stats = trained.model, trained.stats
     # skip frozen from the warmup's i<5 encodes: last update encodes fr[3]
     (_, skip), _ = model.encode(params, stats, jnp.asarray(fr_fc[3]),
                                 train=False)
