@@ -31,16 +31,17 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-_MNIST_FILES = (
-    "train-images-idx3-ubyte",
-    "MNIST/raw/train-images-idx3-ubyte",
-    "mnist/train-images-idx3-ubyte",
-)
+_MNIST_DIRS = ("", "MNIST/raw/", "mnist/")
 
 
-def _load_mnist_images(data_root: str) -> Optional[np.ndarray]:
-    """Read raw MNIST idx images (optionally .gz) → (N, 28, 28) float32 [0,1]."""
-    for rel in _MNIST_FILES:
+def _load_mnist_images(data_root: str,
+                       train: bool = True) -> Optional[np.ndarray]:
+    """Read raw MNIST idx images (optionally .gz) → (N, 28, 28) float32
+    [0,1]. The split selects the image FILE — train-images vs t10k-images —
+    like the reference's datasets.MNIST(train=train) (moving_mnist.py:20-26),
+    so eval sequences use held-out digits."""
+    stem = "train-images-idx3-ubyte" if train else "t10k-images-idx3-ubyte"
+    for rel in (d + stem for d in _MNIST_DIRS):
         for suffix, opener in (("", open), (".gz", gzip.open)):
             path = os.path.join(data_root, rel + suffix)
             if not os.path.exists(path):
@@ -55,11 +56,14 @@ def _load_mnist_images(data_root: str) -> Optional[np.ndarray]:
     return None
 
 
-def _procedural_digits(num: int = 256, size: int = 28) -> np.ndarray:
+def _procedural_digits(num: int = 256, size: int = 28,
+                       seed: int = 1234) -> np.ndarray:
     """Deterministic digit-like glyphs (anti-aliased strokes) used when no
     MNIST file is on disk. Statistics (sparse bright strokes on black)
-    approximate MNIST well enough for pipeline/perf work and tests."""
-    rng = np.random.default_rng(1234)
+    approximate MNIST well enough for pipeline/perf work and tests.
+    Train/test use different seeds so the splits are glyph-disjoint, like
+    the real train/t10k image sets."""
+    rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
     glyphs = np.zeros((num, size, size), np.float32)
     for i in range(num):
@@ -94,9 +98,10 @@ class MovingMNIST:
         self.seed = (seed * 2 + (0 if train else 1)) * 0x9E3779B1
         self._len = epoch_size if epoch_size else (60000 if train else 10000)
 
-        digits = _load_mnist_images(data_root) if data_root else None
+        digits = (_load_mnist_images(data_root, train=train)
+                  if data_root else None)
         if digits is None:
-            digits = _procedural_digits()
+            digits = _procedural_digits(seed=1234 if train else 4321)
         if digit_size != digits.shape[-1]:
             digits = _resize_bilinear(digits, digit_size)
         self.digits = digits

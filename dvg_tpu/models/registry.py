@@ -54,13 +54,17 @@ def get_backbone(model: str = "dcgan", image_width: int = 64) -> Backbone:
                                  image_width=image_width,
                                  axis_name=axis_name)
 
-    dec_grouped = None
-    if hasattr(mod, "decoder_apply_grouped"):
-        def dec_grouped(params, stats, vecs, skips_unique, group_idx, train,
-                        axis_name=None):
-            return mod.decoder_apply_grouped(
-                params, stats, vecs, skips_unique, group_idx, train,
-                image_width=image_width, axis_name=axis_name)
+    # every backbone MUST provide the grouped decode — the train step uses
+    # it unconditionally (train/step.py joint pass); resolve it EAGERLY so
+    # a backbone without one fails at registration with its name, not with
+    # an opaque error mid-training-step
+    grouped_fn = mod.decoder_apply_grouped
+
+    def dec_grouped(params, stats, vecs, skips_unique, group_idx, train,
+                    axis_name=None):
+        return grouped_fn(params, stats, vecs, skips_unique, group_idx,
+                          train, image_width=image_width,
+                          axis_name=axis_name)
 
     return Backbone(
         encoder_init=enc_init,

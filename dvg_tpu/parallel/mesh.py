@@ -40,8 +40,17 @@ def make_mesh(axis_sizes: Sequence[Tuple[str, int]] = None,
         axis_sizes = [("data", len(devices))]
     names = [n for n, _ in axis_sizes]
     sizes = [s for _, s in axis_sizes]
+    if sizes.count(-1) > 1:
+        raise ValueError(f"mesh {list(zip(names, sizes))}: at most one "
+                         "axis size may be -1")
     if -1 in sizes:
         known = int(np.prod([s for s in sizes if s != -1]))
+        if len(devices) % known:
+            raise ValueError(
+                f"mesh {list(zip(names, sizes))}: -1 cannot absorb the "
+                f"rest — {len(devices)} devices do not divide by the "
+                f"fixed axes' product {known} (devices would sit idle "
+                "silently)")
         sizes[sizes.index(-1)] = len(devices) // known
     total = int(np.prod(sizes))
     if total > len(devices):

@@ -7,8 +7,9 @@ Host-side numpy + PIL/imageio equivalents of /root/reference/utils.py:
     horizontally — the reference's orientation).
   * `save_image`       — `save_tensors_image`/`make_image` (utils.py:186-199).
   * `save_gif`         — utils.py:156-165 (imageio mimsave, duration arg).
-  * `save_gif_with_text` — utils.py:167-184: per-frame grid with a text
-    caption strip rendered above every tile.
+  * `save_gif_with_text` — utils.py:167-184: captions drawn INTO each
+    tile's 30-px bottom strip (black, reference draw_text_tensor), tiles
+    concatenated with no outer gutters.
   * `add_border`       — generate_frames.py:306-319: pad a frame inside a
     red ('red') or green ('green') 0.7-intensity border, with a 30-px tail
     strip for the caption area.
@@ -41,15 +42,27 @@ def image_grid(inputs, padding: int = 1) -> np.ndarray:
     (one grid row per entry, utils.py:121-127 concatenates along the
     height axis), while a flat list of images concatenates HORIZONTALLY
     (utils.py:143-149, the width axis). Gutters are `padding` px WHITE
-    (`torch.ones`), default padding=1 like the reference."""
+    (`torch.ones`), default padding=1 like the reference.
+
+    `padding` applies to THIS level only: nested sub-grids are composed
+    with the default padding=1, exactly like the reference's recursion
+    (utils.py:110 calls `image_tensor(x)` with no padding argument) — so
+    `save_gif`'s padding=0 removes only the outer gutters while rows keep
+    their 1-px inner gutters.
+
+    A stacked (N, H, W, C) ndarray batch is accepted as a flat list."""
+    if isinstance(inputs, np.ndarray) and inputs.ndim == 4:
+        inputs = list(inputs)
     if isinstance(inputs, (list, tuple)):
-        tiles = [image_grid(e, padding) for e in inputs]
+        tiles = [image_grid(e) for e in inputs]
         h = max(t.shape[0] for t in tiles)
         w = max(t.shape[1] for t in tiles)
         tiles = [_pad_to(t, h, w) for t in tiles]
         # list-of-lists → this level stacks sub-grids vertically (rows);
         # a flat list of images concatenates horizontally
-        vert = isinstance(inputs[0], (list, tuple))
+        vert = (isinstance(inputs[0], (list, tuple))
+                or (isinstance(inputs[0], np.ndarray)
+                    and inputs[0].ndim == 4))
         axis = 0 if vert else 1
         gut_shape = ((padding, w, 3) if vert else (h, padding, 3))
         gutter = np.ones(gut_shape, np.float32)
@@ -88,29 +101,31 @@ def save_gif(path: str, frames: Sequence, duration: float = 0.25) -> None:
     imageio.mimsave(path, imgs, duration=duration, loop=0)
 
 
-def draw_text_image(text: str, width: int, height: int = 30) -> np.ndarray:
-    """Render caption text into a (height, width, 3) float image
-    (reference draw_text_tensor, utils.py:176-184, via PIL)."""
+def draw_text_on(img: np.ndarray, text: str) -> np.ndarray:
+    """Draw caption text INTO an (H, W, C) float tile in black
+    (reference draw_text_tensor, utils.py:168-175: uint8 roundtrip through
+    PIL, text at (4, 64) on the 96-px 64-width tiles — i.e. the top of
+    `add_border`'s 30-px bottom strip; generalized as (4, H-32) so larger
+    image widths keep the caption in the strip rather than mid-frame)."""
     from PIL import Image, ImageDraw
-    img = Image.new("RGB", (width, height), (0, 0, 0))
-    d = ImageDraw.Draw(img)
-    d.text((2, 2), text, fill=(255, 255, 255))
-    return np.asarray(img, np.float32) / 255.0
+    img = _to_hwc(np.asarray(img))
+    pil = Image.fromarray(np.uint8(img * 255))
+    d = ImageDraw.Draw(pil)
+    d.text((4, img.shape[0] - 32), text, fill=(0, 0, 0))
+    return np.asarray(pil, np.float32) / 255.0
 
 
 def save_gif_with_text(path: str, gifs: Sequence[Sequence],
                        texts: Sequence[Sequence[str]],
                        duration: float = 0.25) -> None:
-    """gifs[t][k] = image, texts[t][k] = caption. Per frame, each tile gets
-    its caption strip above it; tiles concatenate horizontally
-    (reference save_gif_with_text, utils.py:167-174)."""
+    """gifs[t][k] = image, texts[t][k] = caption. Per frame, each caption
+    is drawn INTO its tile's bottom strip and the tiles concatenate
+    horizontally with no gutters (reference save_gif_with_text,
+    utils.py:181-188: image_tensor(draw_text_tensor(...), padding=0))."""
     frames = []
     for row_imgs, row_txts in zip(gifs, texts):
-        tiles = []
-        for img, txt in zip(row_imgs, row_txts):
-            img = _to_hwc(np.asarray(img))
-            cap = draw_text_image(txt, img.shape[1])
-            tiles.append(np.concatenate([cap, img], axis=0))
+        tiles = [draw_text_on(img, txt)
+                 for img, txt in zip(row_imgs, row_txts)]
         frames.append(np.concatenate(tiles, axis=1))
     import imageio.v2 as imageio
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

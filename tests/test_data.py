@@ -639,3 +639,24 @@ def test_ucf_per_class_pt_metadata(tmp_path):
     seq, cls_id = ds[0]
     assert seq.shape == (2, 64, 64, 3) and 0 <= cls_id < 2
     np.testing.assert_array_equal(ds[3][0], ds[3][0])
+
+
+def test_moving_mnist_splits_use_disjoint_digits(tmp_path):
+    """The reference's test split draws from the held-out t10k images
+    (datasets.MNIST(train=train), moving_mnist.py:20-26): the split must
+    select the digit SOURCE, not just perturb the trajectory RNG."""
+    tr = MovingMNIST(train=True, seq_len=2, seed=3)
+    te = MovingMNIST(train=False, seq_len=2, seed=3)
+    assert not np.array_equal(tr.digits, te.digits)  # glyph-disjoint banks
+    # idx-file selection: write distinct train/t10k files and check each
+    # split reads its own
+    import struct
+    for stem, fill in (("train-images-idx3-ubyte", 10),
+                       ("t10k-images-idx3-ubyte", 200)):
+        with open(tmp_path / stem, "wb") as f:
+            f.write(struct.pack(">IIII", 2051, 3, 28, 28))
+            f.write(bytes([fill]) * (3 * 28 * 28))
+    tr2 = MovingMNIST(train=True, seq_len=2, data_root=str(tmp_path))
+    te2 = MovingMNIST(train=False, seq_len=2, data_root=str(tmp_path))
+    assert float(tr2.digits.max()) == np.float32(10 / 255.0)
+    assert float(te2.digits.max()) == np.float32(200 / 255.0)

@@ -6,7 +6,7 @@ import os
 
 import numpy as np
 
-from dvg_tpu.utils.viz import (add_border, draw_text_image, image_grid,
+from dvg_tpu.utils.viz import (add_border, draw_text_on, image_grid,
                                save_gif, save_gif_with_text, save_image)
 from dvg_tpu.utils.logging import MetricLogger
 
@@ -19,8 +19,11 @@ def test_image_grid_layouts():
     flat = image_grid([img, img], padding=2)        # horizontal strip
     assert flat.shape == (8, 18, 3)
     assert float(flat[0, 8, 0]) == 1.0              # white gutter
+    # padding applies at the OUTER level only; nested rows are composed
+    # with the reference's default padding=1 (utils.py:110 recurses with
+    # no padding argument): rows are 8+1+8=17 wide, stacked 8+2+8=18 tall
     grid = image_grid([[img, img], [img, img]], padding=2)
-    assert grid.shape == (18, 18, 3)                # 2 rows x 2 cols
+    assert grid.shape == (18, 17, 3)                # 2 rows x 2 cols
     assert image_grid([img, img]).shape == (8, 17, 3)   # default padding=1
     gray = image_grid(np.ones((8, 8), np.float32))
     assert gray.shape == (8, 8, 3)
@@ -43,8 +46,31 @@ def test_writers(tmp_path):
                        [[img, img]] * 3, [["a", "b"]] * 3)
     for f in ("a.png", "a.gif", "b.gif"):
         assert (tmp_path / f).stat().st_size > 0
-    cap = draw_text_image("hello", 64)
-    assert cap.shape == (30, 64, 3) and cap.max() > 0   # text rendered
+    # captions draw INTO the tile's 30-px bottom strip in black
+    # (reference draw_text_tensor at (4, 64) on 96-px bordered tiles)
+    tile = add_border(np.ones((64, 64, 1), np.float32), "green")
+    cap = draw_text_on(tile, "hello")
+    assert cap.shape == tile.shape                       # no extra strip
+    strip_before = tile[-30:]
+    strip_after = cap[-30:]
+    assert (strip_after < strip_before).any()            # black text drawn
+    assert np.allclose(cap[:8], tile[:8], atol=1/255)    # top untouched
+
+
+def test_save_gif_keeps_inner_row_gutters(tmp_path):
+    """save_gif's padding=0 removes only the OUTER gutters: nested rows
+    keep the default 1-px white inner gutters, like the reference's
+    image_tensor recursion (utils.py:110 recurses with default padding)."""
+    img = np.zeros((8, 8, 3), np.float32)
+    frame = image_grid([[img, img, img]], padding=0)   # one 3-tile row
+    assert frame.shape == (8, 3 * 8 + 2, 3)            # 2 inner gutters
+    assert frame[:, 8, :].min() == 1.0                  # white gutter
+    # flat list at padding=0: no gutters at the applied level
+    flat = image_grid([img, img], padding=0)
+    assert flat.shape == (8, 16, 3)
+    # stacked ndarray batch accepted as a flat list
+    batch = image_grid(np.zeros((4, 8, 8, 3), np.float32))
+    assert batch.shape == (8, 4 * 8 + 3, 3)
 
 
 def test_metric_logger(tmp_path):
