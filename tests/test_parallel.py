@@ -28,6 +28,11 @@ def test_make_mesh():
     assert m2.shape == {"sample": 2, "data": 4}
     with pytest.raises(ValueError):
         make_mesh([("data", 99)])
+    # -1 must absorb the rest EVENLY (silently idling devices is an error)
+    with pytest.raises(ValueError, match="divide"):
+        make_mesh([("sample", 3), ("data", -1)])
+    with pytest.raises(ValueError, match="-1"):
+        make_mesh([("a", -1), ("b", -1)])
 
 
 @pytest.fixture(scope="module")
