@@ -134,6 +134,7 @@ class _MetaVideoDataset:
         self.image_size = image_size
         self.seed = (seed, 0 if train else 1)
         self.meta = self._load_meta(train)
+        self._validate_meta()
 
     def _meta_path(self, train: bool, ext: str) -> str:
         split = "train" if train else "test"
@@ -191,6 +192,31 @@ class _MetaVideoDataset:
         except TypeError:              # older torch without the kwarg
             return torch.load(path)
 
+    def _validate_meta(self) -> None:
+        """Class-coverage validation, run ONCE at metadata load (the
+        metadata is immutable after __init__). A missing-from-disk metadata
+        file (meta is None) stays legal here — __getitem__ raises its
+        actionable FileNotFoundError only when data is actually asked for,
+        so constructing a dataset for introspection never needs files."""
+        if self.meta is None:
+            return
+        avail = [c for c in self.classes if self.meta.get(c)]
+        if not avail:
+            raise ValueError(
+                f"metadata classes {sorted(self.meta)} share no names with "
+                f"the expected {type(self).__name__} classes "
+                f"{list(self.classes)} (or all record lists are empty) — "
+                "check class naming/casing in the metadata file")
+        if len(avail) != len(self.classes):
+            # a partial class set silently narrows the sampled distribution
+            # (same failure mode the per-class layout rejects in _load_meta);
+            # the reference crashes here too — randint over an empty record
+            # list (kth.py:38)
+            bad = [c for c in self.classes if not self.meta.get(c)]
+            raise ValueError(
+                f"metadata has records for {avail} but none for {bad} — "
+                "convert every class or restrict the dataset's `classes`")
+
     def __len__(self) -> int:
         return len(self.classes) * 100 if self.train else 1000
 
@@ -203,22 +229,8 @@ class _MetaVideoDataset:
                 f"metadata not found at {self._meta_path(self.train, 'json')}; "
                 "run dvg_tpu.data.convert.build_metadata after frame conversion")
         rng = np.random.default_rng((*self.seed, index))
-        avail = [c for c in self.classes if self.meta.get(c)]
-        if not avail:
-            raise ValueError(
-                f"metadata classes {sorted(self.meta)} share no names with "
-                f"the expected {type(self).__name__} classes "
-                f"{list(self.classes)} (or all record lists are empty) — "
-                "check class naming/casing in the metadata file")
-        if len(avail) != len(self.classes):
-            # a partial class set silently narrows the sampled distribution
-            # (same failure mode the per-class layout rejects above); the
-            # reference crashes here too — randint over an empty record
-            # list (kth.py:38)
-            bad = [c for c in self.classes if not self.meta.get(c)]
-            raise ValueError(
-                f"metadata has records for {avail} but none for {bad} — "
-                "convert every class or restrict the dataset's `classes`")
+        # _validate_meta guaranteed every class has records
+        avail = self.classes
         # Reference kth.py:37-44 redraws (class, video, chunk) while the
         # chunk is shorter than seq_len; bound the loop and fall back to
         # right-padding if nothing fits (degenerate metadata only).
@@ -270,6 +282,7 @@ class UCF(_MetaVideoDataset):
             # reference ucf.py:13 forces the train split; fall back likewise
             self.meta = self._load_meta(True)
             self.train = True
+            self._validate_meta()
 
 
 def _numeric_key(name: str):

@@ -34,6 +34,13 @@ import numpy as np
 _MNIST_DIRS = ("", "MNIST/raw/", "mnist/")
 
 
+def _mnist_file_exists(data_root: str, train: bool) -> bool:
+    stem = "train-images-idx3-ubyte" if train else "t10k-images-idx3-ubyte"
+    return any(
+        os.path.exists(os.path.join(data_root, d + stem + suffix))
+        for d in _MNIST_DIRS for suffix in ("", ".gz"))
+
+
 def _load_mnist_images(data_root: str,
                        train: bool = True) -> Optional[np.ndarray]:
     """Read raw MNIST idx images (optionally .gz) → (N, 28, 28) float32
@@ -101,6 +108,24 @@ class MovingMNIST:
         digits = (_load_mnist_images(data_root, train=train)
                   if data_root else None)
         if digits is None:
+            if data_root:
+                # an explicit data_root promises real MNIST — never swap
+                # in glyphs silently. Mixing real digits on one split with
+                # glyphs on the other would score eval against a different
+                # data distribution than training, so that case is fatal.
+                split, stem = (("train", "train-images-idx3-ubyte") if train
+                               else ("test", "t10k-images-idx3-ubyte"))
+                msg = (f"MNIST {split}-split images ({stem}[.gz]) not found "
+                       f"under {data_root!r} (searched {_MNIST_DIRS}); "
+                       "falling back to procedural glyphs for this split")
+                if _mnist_file_exists(data_root, train=not train):
+                    raise FileNotFoundError(
+                        msg + " — but the OTHER split's idx file IS present, "
+                        "so train and eval would use different data "
+                        "distributions. Download the missing idx file "
+                        "(both splits ship in every MNIST mirror).")
+                import warnings
+                warnings.warn(msg, stacklevel=2)
             digits = _procedural_digits(seed=1234 if train else 4321)
         if digit_size != digits.shape[-1]:
             digits = _resize_bilinear(digits, digit_size)

@@ -132,6 +132,8 @@ def _free_run(model: DVGModel, params, stats, cache: gp_mod.GPCache,
 
     (In-scan SSIM/PSNR eval lives in `diverse_metrics`'s merged-batch scan,
     not here — this function always materializes frames.)"""
+    assert not (full_cov and pair_keys), (
+        "pair replay is marginal-only (diverse_select_pairs raises first)")
 
     def enc_full(xt):
         (h, skips), _ = model.encode(params, stats, xt, train=False)
@@ -147,18 +149,25 @@ def _free_run(model: DVGModel, params, stats, cache: gp_mod.GPCache,
             mean, _ = gp_mod.cached_mean_var(cache, model.to_gp_layout(h_pred))
             latent = model.from_gp_layout(mean)
         else:
-            if pair_keys:
-                sample = gp_mod.cached_rsample_pairs(
-                    cache, model.to_gp_layout(h), key, row_ids)
-            elif full_cov:
-                sample = gp_mod.cached_rsample_fullcov(
-                    cache_fc if cache_fc is not None else cache,
-                    model.to_gp_layout(h), key)
+            if full_cov:
+                # fork is a scan-carried scalar (and stays UNBATCHED under
+                # the per-sample vmap), so lax.cond runs the expensive
+                # (D,B,B) covariance + Cholesky only on actual fork steps;
+                # jnp.where would evaluate it every step
+                latent = jax.lax.cond(
+                    fork,
+                    lambda: model.from_gp_layout(gp_mod.cached_rsample_fullcov(
+                        cache_fc if cache_fc is not None else cache,
+                        model.to_gp_layout(h), key)),
+                    lambda: h_pred)
             else:
-                sample = gp_mod.cached_rsample(cache, model.to_gp_layout(h),
-                                               key, row_ids=row_ids)
-            sample = model.from_gp_layout(sample)
-            latent = jnp.where(fork, sample, h_pred)
+                if pair_keys:
+                    sample = gp_mod.cached_rsample_pairs(
+                        cache, model.to_gp_layout(h), key, row_ids)
+                else:
+                    sample = gp_mod.cached_rsample(
+                        cache, model.to_gp_layout(h), key, row_ids=row_ids)
+                latent = jnp.where(fork, model.from_gp_layout(sample), h_pred)
         x_out, _ = model.decode(params, stats, latent, sk, train=False)
         return (hidden, x_out), x_out
 
@@ -221,23 +230,10 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
                                axis=0).astype(jnp.float32)
 
     def _sampled(params, stats, cache, x, key, fork_mask, s, row_ids=None):
-        params, stats, cache, cache_fc = prep(params, stats, cache)
-        x = x.astype(dtype)
-        hidden, skip, x_in = _context_phase(model, params, stats, x, n_past)
         rows = (jnp.arange(x.shape[1]) if row_ids is None
                 else jnp.asarray(row_ids))
-
-        def one(k):
-            keys = jax.random.split(k, n_free)
-            return _free_run(model, params, stats, cache, hidden, skip, x_in,
-                             n_free, fork_mask, keys, gp_mean_mode=False,
-                             row_ids=rows, refresh_skip=refresh,
-                             full_cov=fc, cache_fc=cache_fc)
-
-        frames = jax.vmap(one)(jax.random.split(key, s))  # (S, n_free, B,...)
-        ctx = jnp.broadcast_to(x[None, :n_past], (s,) + x[:n_past].shape)
-        return jnp.concatenate([ctx, frames],
-                               axis=1).astype(jnp.float32)
+        return _sampled_with_keys(params, stats, cache, x,
+                                  jax.random.split(key, s), fork_mask, rows)
 
     def diverse(params, stats, cache, x, key):
         return _sampled(params, stats, cache, x, key, fork_15, nsample)
@@ -346,8 +342,21 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
                                               k_s, row_ids=rows)
                 return model.from_gp_layout(y)
 
-            sample = jax.vmap(samp)(keys_t, hs).reshape(s_n * b, -1)
-            latent = jnp.where(fork, sample, h_pred)
+            if fc:
+                # the (D,B,B) covariance assembly + batched Cholesky of the
+                # correlated draw is expensive and only ~1 step in 15 uses
+                # it; `fork` is a scan-carried scalar (uniform over the
+                # batch), so lax.cond executes ONE branch per step instead
+                # of jnp.where's both. The marginal hot path keeps the
+                # branch-free where (its draw is a few small matmuls —
+                # cheaper than a conditional in the tuned headline scan).
+                latent = jax.lax.cond(
+                    fork,
+                    lambda: jax.vmap(samp)(keys_t, hs).reshape(s_n * b, -1),
+                    lambda: h_pred)
+            else:
+                sample = jax.vmap(samp)(keys_t, hs).reshape(s_n * b, -1)
+                latent = jnp.where(fork, sample, h_pred)
             x_out, _ = model.decode(params, stats, latent, sk, train=False)
             return (hidden, x_out), metrics_of(x_out, pre_t)
 
@@ -363,6 +372,14 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
         Exactly reproduces the futures scored by diverse_metrics: per-sample
         keys split from `key` by sample index, per-row noise folded by the
         GLOBAL row id (pass the rows' original indices in `row_ids`)."""
+        if fc:
+            raise ValueError(
+                "diverse_select cannot reproduce scored futures under "
+                "cfg.full_cov_sampling: the correlated draw spans the FULL "
+                "eval batch, so a row subset (or even the same rows "
+                "reordered) changes the sample. Re-roll the whole batch "
+                "with diverse_rollout_with_keys instead (cli/generate.py "
+                "does exactly this).")
         all_keys = jax.random.split(key, nsample)
         sel = jnp.take(all_keys, sample_ids, axis=0)
         return _sampled_with_keys(params, stats, cache, x, sel, fork_15,
@@ -407,6 +424,13 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
         noise derivation are batch-position independent, so column k
         reproduces exactly what (sample, row) saw in diverse_metrics.
         Replaces the per-pair host loop of dispatches (K jit calls → 1)."""
+        if fc:
+            raise ValueError(
+                "diverse_select_pairs replays per-row MARGINAL draws only; "
+                "under cfg.full_cov_sampling the scored draw was correlated "
+                "across the whole batch — re-roll with "
+                "diverse_rollout_with_keys on the full batch instead "
+                "(cli/generate.py does exactly this).")
         params, stats, cache, _ = prep(params, stats, cache)
         x_sel = x_sel.astype(dtype)
         hidden, skip, x_in = _context_phase(model, params, stats, x_sel,
@@ -428,6 +452,12 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
     total = n_eval                                      # 105 by default
 
     def gp_trigger(params, stats, cache, x, key):
+        if total <= warmup:
+            raise ValueError(
+                f"gp_trigger needs n_eval > {warmup} (the reference's fixed "
+                f"{warmup}-step free-run warmup, generate_frames.py:266-279) "
+                f"but cfg.n_eval={total} — it would return {warmup} warmup "
+                "frames regardless of the requested horizon")
         params, stats, cache, cache_fc = prep(params, stats, cache)
         x = x.astype(dtype)
         b = x.shape[1]
@@ -525,5 +555,8 @@ def best_of_n(metric_bt_per_sample: jnp.ndarray) -> Tuple[jnp.ndarray,
     """metric (B, S, T) → (best sample index per batch row by mean-over-T,
     the per-row best mean). Matches `ordered[-1]` selection."""
     mean_bs = jnp.mean(metric_bt_per_sample, axis=-1)   # (B, S)
-    idx = jnp.argmax(mean_bs, axis=-1)
+    # `ordered[-1]` after a STABLE np.argsort resolves exact ties to the
+    # LAST max index; jnp.argmax alone would pick the first
+    s = mean_bs.shape[-1]
+    idx = (s - 1) - jnp.argmax(mean_bs[..., ::-1], axis=-1)
     return idx, jnp.take_along_axis(mean_bs, idx[:, None], axis=1)[:, 0]

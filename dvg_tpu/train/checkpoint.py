@@ -40,15 +40,16 @@ def save_checkpoint(path: str, cfg: DVGConfig, state) -> str:
     """state: TrainState (or any pytree with params/stats/opt_states/step).
 
     `path` may be a directory (writes <path>/model.ckpt inside it) or an
-    explicit FILE path — a basename with an extension is treated as a
-    file, so save_checkpoint('out/final.msgpack', ...) writes that file
-    rather than silently creating a directory of that name. Disambiguate
-    a dotted DIRECTORY name ('runs/v1.5') with a trailing slash or by
-    creating the directory first — an existing dir or trailing separator
+    explicit FILE path — only a basename with a KNOWN checkpoint
+    extension (.ckpt/.msgpack) selects the file branch, so
+    save_checkpoint('out/final.msgpack', ...) writes that file while a
+    dotted run name like 'runs/v1.5' still creates a directory (an
+    any-dot heuristic would reclassify such names and strand downstream
+    <dir>/model.ckpt readers). An existing dir or trailing separator
     always selects the directory branch."""
     is_file = (not path.endswith(os.sep)
                and not os.path.isdir(path)
-               and "." in os.path.basename(path))
+               and os.path.splitext(path)[1] in (".ckpt", ".msgpack"))
     if not is_file:
         os.makedirs(path, exist_ok=True)
         path = os.path.join(path, CKPT_NAME)
@@ -128,11 +129,19 @@ def read_checkpoint_bytes_synced(path: str) -> bytes:
                 blob = np.frombuffer(f.read(), np.uint8)
         except OSError as e:
             err = e
-    n = int(mhu.broadcast_one_to_all(
-        np.int64(-1 if err is not None else blob.size)))
-    if n < 0:
+    # The header travels as uint32 [err_flag, size_hi, size_lo]: a bare
+    # int64 scalar is silently truncated to int32 by jax when
+    # jax_enable_x64 is off (the default), which would corrupt the size
+    # for checkpoints >= 2 GiB — wrapped n means a bogus error on every
+    # peer or a wrong-sized buffer entering the collective.
+    size = 0 if err is not None else int(blob.size)
+    hdr = np.asarray(mhu.broadcast_one_to_all(np.array(
+        [1 if err is not None else 0, size >> 32, size & 0xFFFFFFFF],
+        np.uint32)))
+    if int(hdr[0]):
         raise err if err is not None else FileNotFoundError(
             f"coordinator failed to read checkpoint {path!r}")
+    n = (int(hdr[1]) << 32) | int(hdr[2])
     if blob.size != n:
         blob = np.zeros((n,), np.uint8)
     return np.asarray(mhu.broadcast_one_to_all(blob)).tobytes()

@@ -660,3 +660,27 @@ def test_moving_mnist_splits_use_disjoint_digits(tmp_path):
     te2 = MovingMNIST(train=False, seq_len=2, data_root=str(tmp_path))
     assert float(tr2.digits.max()) == np.float32(10 / 255.0)
     assert float(te2.digits.max()) == np.float32(200 / 255.0)
+
+
+def test_moving_mnist_missing_split_is_loud(tmp_path):
+    """An explicit data_root must never swap in glyphs silently: a missing
+    idx file warns when NO real MNIST is present, and raises when the
+    OTHER split's file exists (train and eval would otherwise score
+    different data distributions — real digits vs glyphs)."""
+    import struct
+
+    # empty data_root: glyph fallback still allowed, but with a warning
+    with pytest.warns(UserWarning, match="procedural glyphs"):
+        MovingMNIST(train=False, seq_len=2, data_root=str(tmp_path))
+    # data_root="" (the default): silent procedural glyphs, no warning
+    import warnings as W
+    with W.catch_warnings():
+        W.simplefilter("error")
+        MovingMNIST(train=False, seq_len=2)
+    # train file present but t10k missing: mixing distributions is fatal
+    with open(tmp_path / "train-images-idx3-ubyte", "wb") as f:
+        f.write(struct.pack(">IIII", 2051, 2, 28, 28))
+        f.write(bytes([50]) * (2 * 28 * 28))
+    MovingMNIST(train=True, seq_len=2, data_root=str(tmp_path))  # fine
+    with pytest.raises(FileNotFoundError, match="OTHER split"):
+        MovingMNIST(train=False, seq_len=2, data_root=str(tmp_path))

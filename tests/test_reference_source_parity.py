@@ -38,6 +38,7 @@ SECOND batch onward, which dvg_tpu documents as a deliberate deviation
 """
 
 import math
+import os
 import sys
 from types import SimpleNamespace
 
@@ -48,6 +49,10 @@ import jax
 import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir("/root/reference"),
+    reason="verbatim reference source not on disk at /root/reference")
 
 from dvg_tpu.config import DVGConfig
 from dvg_tpu.models.dvg import DVGModel

@@ -148,6 +148,14 @@ def test_best_of_n():
     idx, best = best_of_n(m)
     ref = np.argmax(np.asarray(m).mean(-1), axis=-1)
     np.testing.assert_array_equal(np.asarray(idx), ref)
+    # exact ties resolve to the LAST max index — the reference sorts with
+    # stable np.argsort and takes ordered[-1] (generate_frames.py:188-189)
+    t = np.zeros((2, 4, 3), np.float32)
+    t[0, 1] = t[0, 3] = 0.7          # rows of identical mean
+    t[1, 0] = 0.2
+    idx_t, best_t = best_of_n(jnp.asarray(t))
+    np.testing.assert_array_equal(np.asarray(idx_t), [3, 0])
+    np.testing.assert_allclose(np.asarray(best_t), [0.7, 0.2], rtol=1e-6)
 
 
 def test_finn_metric_option(setup):
@@ -331,6 +339,28 @@ def test_full_cov_sampling_end_to_end(setup):
                                           base_keys, jnp.arange(3))
     np.testing.assert_allclose(np.asarray(re[0]), np.asarray(gen_fc[1]),
                                rtol=1e-4, atol=1e-5)
+
+    # the subset/pair re-roll surfaces cannot reproduce a batch-correlated
+    # draw — they must refuse loudly, not render silently-different frames
+    with pytest.raises(ValueError, match="whole batch"):
+        fns_fc.diverse_select(params, stats, cache, x2[:, :1], key,
+                              jnp.asarray([1]), jnp.asarray([0]))
+    with pytest.raises(ValueError, match="MARGINAL"):
+        fns_fc.diverse_select_pairs(params, stats, cache, x2[:, :1],
+                                    base_keys, jnp.asarray([0]))
+
+
+def test_gp_trigger_short_horizon_raises(setup):
+    """n_eval <= the reference's fixed 12-step warmup cannot honor the
+    requested horizon — the trigger path must refuse instead of returning
+    12 frames for a shorter request."""
+    cfg, model, params, stats, cache, fns, x = setup
+    cfg_s = cfg.replace(n_past=2, n_future=8, n_eval=10,
+                        gp_trigger_flag=True)
+    fns_s = make_rollout_fns(model, cfg_s, nsample=2)
+    with pytest.raises(ValueError, match="warmup"):
+        fns_s.gp_trigger(params, stats, cache, x[:10],
+                         jax.random.PRNGKey(0))
 
 
 def test_gp_trigger_full_cov_untriggered_identity(setup):

@@ -68,9 +68,10 @@ def test_checkpoint_roundtrip(trained, tmp_path):
 
 
 def test_save_checkpoint_path_contract(trained, tmp_path):
-    """Dotted basename → explicit FILE; existing dir or trailing slash →
-    directory (writes model.ckpt inside) — checkpoint.py's disambiguation
-    rule for dotted directory names like 'runs/v1.5'."""
+    """.ckpt/.msgpack basename → explicit FILE; anything else (including
+    dotted run names like 'runs/v1.5'), an existing dir, or a trailing
+    slash → directory (writes model.ckpt inside) — checkpoint.py's
+    extension-allowlist disambiguation rule."""
     cfg, _, _, state, _, _ = trained
     p1 = save_checkpoint(str(tmp_path / "final.msgpack"), cfg, state)
     assert p1.endswith("final.msgpack") and os.path.isfile(p1)
@@ -85,6 +86,11 @@ def test_save_checkpoint_path_contract(trained, tmp_path):
     d3.mkdir()
     p3 = save_checkpoint(str(d3), cfg, state)
     assert p3 == str(d3 / "model.ckpt") and os.path.isfile(p3)
+    # a NOT-yet-existing dotted run name is a directory too (the dot is
+    # not a checkpoint extension) — downstream `--model_dir runs/v1.5`
+    # readers join model.ckpt onto it
+    p4 = save_checkpoint(str(tmp_path / "v2.5"), cfg, state)
+    assert p4 == str(tmp_path / "v2.5" / "model.ckpt") and os.path.isfile(p4)
 
 
 def test_generation_override_contract():

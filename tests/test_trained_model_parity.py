@@ -45,6 +45,10 @@ import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")
 
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir("/root/reference"),
+    reason="verbatim reference source not on disk at /root/reference")
+
 import test_reference_source_parity as RSP  # verbatim-import + GP mirror
 
 from dvg_tpu.config import DVGConfig
