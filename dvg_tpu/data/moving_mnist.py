@@ -48,18 +48,33 @@ def _load_mnist_images(data_root: str,
     like the reference's datasets.MNIST(train=train) (moving_mnist.py:20-26),
     so eval sequences use held-out digits."""
     stem = "train-images-idx3-ubyte" if train else "t10k-images-idx3-ubyte"
+    corrupt = []
     for rel in (d + stem for d in _MNIST_DIRS):
         for suffix, opener in (("", open), (".gz", gzip.open)):
             path = os.path.join(data_root, rel + suffix)
             if not os.path.exists(path):
                 continue
             with opener(path, "rb") as f:
-                magic, n, rows, cols = struct.unpack(">IIII", f.read(16))
+                header = f.read(16)
+                if len(header) < 16:
+                    corrupt.append(path)
+                    continue
+                magic, n, rows, cols = struct.unpack(">IIII", header)
                 if magic != 2051:
+                    corrupt.append(path)
                     continue
                 buf = f.read(n * rows * cols)
             arr = np.frombuffer(buf, dtype=np.uint8).reshape(n, rows, cols)
             return arr.astype(np.float32) / 255.0
+    if corrupt:
+        # Present but unreadable is NOT 'not found': a glyph fallback here
+        # would silently swap the data distribution under a data_root the
+        # caller believes holds real MNIST.
+        raise ValueError(
+            f"MNIST idx file(s) present but unreadable (bad/short magic "
+            f"header, expected 2051): {corrupt} — re-download the file; "
+            "refusing to fall back to procedural glyphs for an explicitly "
+            "provided data_root")
     return None
 
 

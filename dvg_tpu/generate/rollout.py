@@ -452,12 +452,20 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
     total = n_eval                                      # 105 by default
 
     def gp_trigger(params, stats, cache, x, key):
-        if total <= warmup:
+        # Contract: the reference's warmup is FIXED at 12 frames
+        # (generate_frames.py:266-279) and the triggered loop is
+        # `for i in range(12, 105)` — with n_eval == 12 that loop is
+        # simply empty, so a warmup-only rollout (12 deterministic
+        # frames, no triggers) is a legal, well-defined geometry and the
+        # minimal one the serving tests export. Only n_eval < 12 is
+        # rejected: a truncated threshold window has no reference meaning
+        # (the 12-value rolling-stats seed would be short).
+        if total < warmup:
             raise ValueError(
-                f"gp_trigger needs n_eval > {warmup} (the reference's fixed "
-                f"{warmup}-step free-run warmup, generate_frames.py:266-279) "
-                f"but cfg.n_eval={total} — it would return {warmup} warmup "
-                "frames regardless of the requested horizon")
+                f"gp_trigger needs n_eval >= {warmup} (the reference's "
+                f"fixed {warmup}-step free-run warmup that seeds the "
+                "rolling threshold window, generate_frames.py:266-283) "
+                f"but cfg.n_eval={total}")
         params, stats, cache, cache_fc = prep(params, stats, cache)
         x = x.astype(dtype)
         b = x.shape[1]
@@ -555,8 +563,10 @@ def best_of_n(metric_bt_per_sample: jnp.ndarray) -> Tuple[jnp.ndarray,
     """metric (B, S, T) → (best sample index per batch row by mean-over-T,
     the per-row best mean). Matches `ordered[-1]` selection."""
     mean_bs = jnp.mean(metric_bt_per_sample, axis=-1)   # (B, S)
-    # `ordered[-1]` after a STABLE np.argsort resolves exact ties to the
-    # LAST max index; jnp.argmax alone would pick the first
+    # The reference takes `ordered[-1]` of np.argsort whose default kind
+    # (quicksort) is UNSTABLE, so its tie order is unspecified; last-max
+    # index is our deterministic convention — it equals ordered[-1]
+    # whenever the means are distinct (the practical case).
     s = mean_bs.shape[-1]
     idx = (s - 1) - jnp.argmax(mean_bs[..., ::-1], axis=-1)
     return idx, jnp.take_along_axis(mean_bs, idx[:, None], axis=1)[:, 0]

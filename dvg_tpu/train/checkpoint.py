@@ -106,10 +106,11 @@ def read_checkpoint_bytes_synced(path: str) -> bytes:
     per-host local disks a peer may hold a missing or STALE model.ckpt;
     loading it independently would assemble a 'replicated' global array
     whose shards differ across hosts — silently wrong results. The
-    coordinator reads the file and broadcasts the raw bytes (size first,
-    then the blob) for every process to decode (load_checkpoint_blob).
-    A coordinator-side read failure broadcasts a -1 size sentinel so the
-    peers raise instead of hanging in the collective forever.
+    coordinator reads the file and broadcasts the raw bytes (a uint32
+    [err_flag, size_hi, size_lo] header first, then the blob) for every
+    process to decode (load_checkpoint_blob). A coordinator-side read
+    failure sets the header's err flag so the peers raise instead of
+    hanging in the collective forever.
 
     (cli/train.py's --resume uses a different mechanism on purpose: it
     must handle the no-checkpoint-anywhere case by broadcasting the

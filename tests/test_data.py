@@ -419,28 +419,30 @@ def test_kth_partial_single_file_metadata_rejected(tmp_path):
     """Single-file metadata covering only SOME classes (or with empty
     record lists) must also fail loudly — same silently-narrowed-
     distribution failure mode as the per-class layout; the reference
-    crashes here too (randint over an empty record list, kth.py:38)."""
+    crashes here too (randint over an empty record list, kth.py:38).
+    Contract (frames.py _validate_meta): present-but-invalid metadata is
+    rejected EAGERLY at construction; only metadata missing from disk
+    defers its FileNotFoundError to first access."""
     meta = {c: [{"vid": "v", "files": [["0.png"] * 9], "n": 9}]
             for c in KTH.classes[:4]}
     meta[KTH.classes[4]] = []         # present but empty = still missing
     with open(os.path.join(str(tmp_path), "train_meta64x64.json"),
               "w") as f:
         json.dump(meta, f)
-    ds = KTH(train=True, data_root=str(tmp_path), seq_len=5, image_size=64)
     with pytest.raises(ValueError, match="none for"):
-        ds[0]
+        KTH(train=True, data_root=str(tmp_path), seq_len=5, image_size=64)
 
 
 def test_kth_foreign_class_names_rejected(tmp_path):
     """Single-file metadata whose class keys share no names with the KTH
-    class table must fail loudly at first sample, not KeyError later."""
+    class table must fail loudly at construction (eager validation of
+    present metadata, frames.py _validate_meta), not KeyError later."""
     with open(os.path.join(str(tmp_path), "train_meta64x64.json"),
               "w") as f:
         json.dump({"Biking": [{"vid": "v", "files": [["0.png"]],
                                "n": 1}]}, f)
-    ds = KTH(train=True, data_root=str(tmp_path), seq_len=5, image_size=64)
     with pytest.raises(ValueError, match="share no names"):
-        ds[0]
+        KTH(train=True, data_root=str(tmp_path), seq_len=5, image_size=64)
 
 
 def test_kth_empty_files_record_diagnostic(tmp_path):
@@ -684,3 +686,18 @@ def test_moving_mnist_missing_split_is_loud(tmp_path):
     MovingMNIST(train=True, seq_len=2, data_root=str(tmp_path))  # fine
     with pytest.raises(FileNotFoundError, match="OTHER split"):
         MovingMNIST(train=False, seq_len=2, data_root=str(tmp_path))
+
+
+def test_moving_mnist_corrupt_idx_is_fatal(tmp_path):
+    """A PRESENT-but-unreadable idx file (bad magic / truncated header) is
+    not 'not found': glyph fallback would silently swap the data
+    distribution, so _load_mnist_images raises instead of returning None."""
+    with open(tmp_path / "train-images-idx3-ubyte", "wb") as f:
+        f.write(b"\x00\x00\x07\xff garbage not an idx header")
+    with pytest.raises(ValueError, match="unreadable"):
+        MovingMNIST(train=True, seq_len=2, data_root=str(tmp_path))
+    # truncated header (< 16 bytes) is the same failure mode
+    with open(tmp_path / "train-images-idx3-ubyte", "wb") as f:
+        f.write(b"\x00\x00")
+    with pytest.raises(ValueError, match="unreadable"):
+        MovingMNIST(train=True, seq_len=2, data_root=str(tmp_path))
