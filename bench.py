@@ -280,21 +280,25 @@ def main() -> int:
             fold)
 
         def one_step(xin, hidden, k):
+            # mirrors the scan body of diverse_metrics' hot path: the skip
+            # half of every decoder conv is hoisted OUT of the scan
+            # (decode_hoisted consumes precomputed, tiled skip-pre tensors)
+            # so the per-step decode FLOPs here are the hoisted ones
             (h, _), _ = model.encode(fparams, stats, xin, train=False)
             h_pred, hidden = model.predict_latent(fparams, hidden, h)
             samp = model.from_gp_layout(gp_mod.cached_rsample(
                 jax.tree.map(lambda a: a.astype(cdtype), cache),
                 model.to_gp_layout(h), k))
-            y, _ = model.decode(fparams, stats,
-                                jnp.where(True, samp, h_pred),
-                                [jnp.zeros(s, cdtype) for s in skip_shapes],
-                                train=False)
+            y = model.decode_hoisted(fparams,
+                                     jnp.where(True, samp, h_pred),
+                                     [jnp.zeros(s, cdtype)
+                                      for s in pre_shapes])
             return y, hidden
 
         (_, sk0), _ = model.encode(fparams, stats,
                                    jnp.zeros((sb, width, width, 3), cdtype),
                                    train=False)
-        skip_shapes = [s.shape for s in sk0]
+        pre_shapes = [p.shape for p in model.decode_skip_pre(fparams, sk0)]
         xin0 = jnp.zeros((sb, width, width, 3), cdtype)
         hid0 = model.lstm_hidden_init(sb, dtype=cdtype)
         cost = (jax.jit(one_step)
@@ -376,6 +380,51 @@ def main() -> int:
         np.asarray(x_in)
     serial_fetch_fps = serial_frames * batch / (time.perf_counter() - t0)
 
+    # dispatch-insensitive variant: the SAME unbatched (one-sample-at-a-
+    # time, frame-serial, fork every 15th frame) execution order, chained
+    # inside ONE lax.scan — zero per-frame dispatch, pure device time.
+    # This denominator is stable across tunnel environments (the dispatch-
+    # bound ones above swung 7x between rounds with relay latency alone,
+    # BENCH_r03 vs r04), so the HEADLINE vs_baseline uses it; the
+    # dispatch-bound variants stay in `detail` as the amortization demo.
+    @jax.jit
+    def serial_scan(params, stats, cache, hidden, x0, key):
+        def common(args):
+            h_pred, h, k = args
+            return h_pred
+
+        def fork(args):
+            h_pred, h, k = args
+            return model.from_gp_layout(gp_mod.cached_rsample(
+                cache, model.to_gp_layout(h), k))
+
+        def body(carry, t):
+            hidden, x_in = carry
+            (h, _), _ = model.encode(params, stats, x_in, train=False)
+            h_pred, hidden = model.predict_latent(params, hidden, h)
+            latent = jax.lax.cond(t % 15 == 0, fork, common,
+                                  (h_pred, h, jax.random.fold_in(key, t)))
+            x_out, _ = model.decode(params, stats, latent, skip_holder,
+                                    train=False)
+            return (hidden, x_out), ()
+
+        (hidden, x_out), _ = jax.lax.scan(
+            body, (hidden, x0), jnp.arange(serial_frames))
+        return x_out
+
+    hid0 = model.lstm_hidden_init(batch)
+    out_s = serial_scan(params, stats, cache, hid0, x[0],
+                        jax.random.PRNGKey(0))
+    _sync(out_s)
+    dt_dev = float("inf")
+    for r in range(3):
+        t0 = time.perf_counter()
+        out_s = serial_scan(params, stats, cache, hid0, x[0],
+                            jax.random.PRNGKey(1 + r))
+        _sync(out_s)
+        dt_dev = min(dt_dev, time.perf_counter() - t0)
+    serial_device_fps = serial_frames * batch / dt_dev
+
     # ---- variant matrix ----------------------------------------------------
     # every supported serving/training configuration in ONE run, so a
     # regression in any variant shows up in BENCH_r*.json without manual
@@ -439,6 +488,16 @@ def main() -> int:
                 variants[vname] = "error: " + repr(e)
         variants["geometry"] = ("rollout: S=20 B=50(64px)/8(128px) T=35; "
                                 "train: B=50(64px)/8(128px) T=15")
+        variants["geometry_why"] = (
+            "variants are regression tripwires, not headlines: each cell "
+            "at the full S=100/T=105 protocol costs a ~3-5 min cold "
+            "compile through the remote-compile relay (5 cells would eat "
+            "the 50-min watchdog budget on a cache miss) for no extra "
+            "signal — the cells are compared round-to-round at a FIXED "
+            "geometry, so deltas, not absolute values, are the contract. "
+            "Caveat (VERDICT r4): per-step effects weigh differently at "
+            "T=35 than T=105 — a regression isolated to long-scan "
+            "behavior would need a headline-geometry rerun to quantify")
 
     # ---- serving artifact: parity + overhead vs live jit -------------------
     # the exported StableHLO (serve/export.py) must produce the SAME numbers
@@ -516,27 +575,37 @@ def main() -> int:
                    f"batch {batch})"),
         "value": round(fps, 1),
         "unit": "frames/sec/chip",
-        "vs_baseline": round(fps / serial_total_fps, 2),
+        # device-time denominator: environment-stable (see serial_note)
+        "vs_baseline": round(fps / serial_device_fps, 2),
         "detail": {
             "batched_s_per_rollout": round(dt, 4),
+            "serial_device_scan_fps": round(serial_device_fps, 1),
+            "vs_baseline_dispatch_bound": round(fps / serial_total_fps, 2),
             "posterior_ms": round(dt_post * 1000.0, 2),
             "posterior_fps": round(posterior_fps, 1),
             "gp_trigger_ms": round(dt_trig * 1000.0, 2),
             "gp_trigger_fps": round(trigger_fps, 1),
             "serial_emulation_fps": round(serial_total_fps, 1),
             "serial_with_per_frame_host_copies_fps": round(serial_fetch_fps, 1),
-            "serial_note": ("both serial denominators are per-program "
+            "serial_note": ("headline vs_baseline divides by "
+                            "serial_device_scan_fps: the reference's "
+                            "execution order (one sample at a time, one "
+                            "frame at a time, fork every 15th) chained in "
+                            "ONE lax.scan — pure device time, stable "
+                            "across tunnel environments. The two "
+                            "dispatch-bound denominators "
+                            "(serial_emulation_fps, per-frame jitted "
+                            "dispatches; serial_with_per_frame_host_copies_"
+                            "fps, + a host fetch each frame) are kept for "
+                            "the amortization story but are per-program "
                             "DISPATCH-bound on this tunneled chip (~5-9 ms "
                             "per one-frame program vs ~0.3 ms of device "
-                            "work), which INFLATES vs_baseline relative to "
-                            "directly-attached hardware; the emulation is "
-                            "simultaneously generous to the reference "
-                            "(jitted XLA one-frame programs stand in for "
-                            "eager torch + gpytorch CG + per-frame "
-                            ".cpu() syncs). vs_baseline is therefore the "
-                            "dispatch-amortization advantage measured on "
-                            "THIS setup, not a hardware-independent bound "
-                            "in either direction"),
+                            "work) — vs_baseline_dispatch_bound swung 7x "
+                            "between r3 and r4 with relay latency alone, "
+                            "which is why it was demoted from the "
+                            "headline. All emulations remain generous to "
+                            "the reference (jitted XLA one-frame programs "
+                            "stand in for eager torch + gpytorch CG)"),
             "train_step_ms": round(train_step_ms, 2),
             "train_mfu": (round(train_mfu, 4)
                           if train_mfu is not None else None),

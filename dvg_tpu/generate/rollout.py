@@ -139,11 +139,19 @@ def _free_run(model: DVGModel, params, stats, cache: gp_mod.GPCache,
         (h, skips), _ = model.encode(params, stats, xt, train=False)
         return h, skips
 
+    # frozen skips → the skip half of every decoder conv is loop-invariant:
+    # precompute it once (model.decode_skip_pre) instead of paying ~half the
+    # decoder FLOPs every scan step. Computed here (not per caller) so every
+    # frozen-skip path — posterior, diverse, select/pairs re-rolls — hoists
+    # identically; under the per-sample vmap the skips are unbatched closure
+    # values, so this traces ONCE, not per sample.
+    skip_pre = None if refresh_skip else jax.lax.optimization_barrier(
+        model.decode_skip_pre(params, skip))
+
     def step(carry, scan_in):
         hidden, x_in = carry
         fork, key = scan_in
         h, skips_new = enc_full(x_in)
-        sk = skips_new if refresh_skip else skip
         h_pred, hidden = model.predict_latent(params, hidden, h)
         if gp_mean_mode:
             mean, _ = gp_mod.cached_mean_var(cache, model.to_gp_layout(h_pred))
@@ -168,7 +176,11 @@ def _free_run(model: DVGModel, params, stats, cache: gp_mod.GPCache,
                     sample = gp_mod.cached_rsample(
                         cache, model.to_gp_layout(h), key, row_ids=row_ids)
                 latent = jnp.where(fork, model.from_gp_layout(sample), h_pred)
-        x_out, _ = model.decode(params, stats, latent, sk, train=False)
+        if refresh_skip:
+            x_out, _ = model.decode(params, stats, latent, skips_new,
+                                    train=False)
+        else:
+            x_out = model.decode_hoisted(params, latent, skip_pre)
         return (hidden, x_out), x_out
 
     (_, _), out = jax.lax.scan(step, (hidden, x_in), (fork_mask, keys))
@@ -267,11 +279,26 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
 
         hidden = jax.tree.map(lambda a: jnp.tile(a, (1, s_n, 1)), hidden_b)
         x_in = tile(x_in_b)
-        # materialize the tiled skips ONCE: without the barrier XLA
-        # rematerializes these broadcasts inside the scan body — profiled at
-        # ~6.5 ms/step (15%) of pure HBM writes re-tiling the same features
-        # every frame
-        skip = jax.lax.optimization_barrier([tile(sk) for sk in skip_b])
+        if refresh:
+            # --last_frame_skip: skips regenerate from every frame, nothing
+            # is loop-invariant — materialize the tiled skips ONCE (without
+            # the barrier XLA rematerializes the broadcasts inside the scan
+            # body: ~6.5 ms/step of pure HBM writes, PERF.md)
+            skip = jax.lax.optimization_barrier([tile(sk) for sk in skip_b])
+            skip_pre = None
+        else:
+            # frozen skips: hoist the skip half of every decoder conv out of
+            # the scan (~half the decoder FLOPs per step), computed at the
+            # un-tiled (B) batch, then TILED ONCE to (S·B) — the in-scan add
+            # is then shape-equal and fuses into the convT output. Keeping
+            # the pre at (B) and broadcast-adding inside the scan measured
+            # SLOWER than the old fused decode (19.3 vs 15.4 ms/step: the
+            # 5-D reshape-broadcast breaks the output fusion); the tiled
+            # form measured 10.0 ms/step (PERF.md r5). Barrier for the same
+            # reason as the tiled skips above.
+            skip = None
+            skip_pre = jax.lax.optimization_barrier(
+                [tile(p) for p in model.decode_skip_pre(params, skip_b)])
         step_keys = jnp.swapaxes(jax.vmap(
             lambda k: jax.random.split(k, n_free)
         )(jax.random.split(key, s_n)), 0, 1)          # (n_free, S)
@@ -329,7 +356,6 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
             hidden, x_in = carry
             fork, keys_t, pre_t = scan_in
             (h, skips_new), _ = model.encode(params, stats, x_in, train=False)
-            sk = skips_new if refresh else skip
             h_pred, hidden = model.predict_latent(params, hidden, h)
             hs = h.reshape(s_n, b, -1)
 
@@ -357,7 +383,11 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
             else:
                 sample = jax.vmap(samp)(keys_t, hs).reshape(s_n * b, -1)
                 latent = jnp.where(fork, sample, h_pred)
-            x_out, _ = model.decode(params, stats, latent, sk, train=False)
+            if refresh:
+                x_out, _ = model.decode(params, stats, latent, skips_new,
+                                        train=False)
+            else:
+                x_out = model.decode_hoisted(params, latent, skip_pre)
             return (hidden, x_out), metrics_of(x_out, pre_t)
 
         (_, _), (s_v, q_v, m_v) = jax.lax.scan(
@@ -504,6 +534,12 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
         (hidden, x_in, window, skip), frames_w = jax.lax.scan(
             warm_step, (hidden, x_in, window0, skip0), jnp.arange(warmup))
 
+        # the skip set is frozen after warmup (reference captures it from
+        # the first 5 encodes only) — hoist its decoder-conv half out of
+        # the 93-step triggered scan, as in the diverse path
+        skip_pre = jax.lax.optimization_barrier(
+            model.decode_skip_pre(params, skip))
+
         def step(carry, scan_in):
             hidden, x_in, window = carry
             k = scan_in
@@ -536,7 +572,7 @@ def make_rollout_fns(model: DVGModel, cfg: DVGConfig,
             hidden = jax.tree.map(
                 lambda old, new: jnp.where(trig[None], old, new),
                 hidden, hidden_new)
-            x_out, _ = model.decode(params, stats, latent, skip, train=False)
+            x_out = model.decode_hoisted(params, latent, skip_pre)
             return (hidden, x_out, window), (x_out, trig[:, 0], value)
 
         (_, _, _), (frames_t, trig, values) = jax.lax.scan(

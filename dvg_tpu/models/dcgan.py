@@ -212,6 +212,61 @@ def decoder_apply_grouped(params, stats, vecs, skips_unique, group_idx,
     return out, {"head": head_stats, "stages": new_stage_stats}
 
 
+def decoder_skip_pre(params, skips, image_width: int = 64):
+    """Skip-half convT contribution of every decoder stage for a FROZEN
+    skip set — the hoisted-out-of-the-scan half of the linearity split
+        convT(cat(d, s), W) = convT(d, W[:, :, :c_d]) + convT(s, W[:, :, c_d:]).
+
+    Generation free-runs keep the skip features frozen at the last context
+    frame (reference generate_frames.py:116-127), so the skip half of each
+    stage's transposed conv is loop-invariant: computing it ONCE here
+    removes ~half the decoder FLOPs from every scan step of the rollout hot
+    loop, plus the (S·B)-tiled skip reads (PERF.md r5). Entries align with
+    decoder_apply_hoisted's stage order (stages top-down, then the final
+    head). The returned tensors keep the skips' batch size, which may be
+    SMALLER than the rollout latent batch (merged sample·batch axis) —
+    decoder_apply_hoisted broadcast-adds over the sample factor."""
+    del image_width
+    outs = []
+    for p, skip in zip(params["stages"], reversed(skips)):
+        w = p["conv"]["w"]
+        c_s = skip.shape[-1]
+        outs.append(L.conv_transpose2d_raw(w[:, :, w.shape[2] - c_s:],
+                                           skip, 2, 1))
+    wf = params["final"]["w"]
+    c_s = skips[0].shape[-1]
+    outs.append(L.conv_transpose2d_raw(wf[:, :, wf.shape[2] - c_s:],
+                                       skips[0], 2, 1))
+    return outs
+
+
+def decoder_apply_hoisted(params, vec, skip_pre, image_width: int = 64):
+    """Eval-mode decode consuming precomputed skip-half contributions
+    (decoder_skip_pre). Requires BN-folded params (fold_inference_params)
+    — eval is the only mode the hoist is valid for, and folding is what the
+    rollout prep() already does. Returns frames only (no stats in eval).
+
+    Numerics: each conv half accumulates in f32 internally and rounds once
+    to the compute dtype on output; the halves then sum in that dtype — in
+    bf16 that is one extra output-magnitude rounding vs the fused conv,
+    the same order of noise as decoder_apply_grouped (see its docstring)."""
+    if "bn" in params["stages"][0]:
+        raise ValueError(
+            "decoder_apply_hoisted requires BN-folded params — call "
+            "model.fold_inference_params(params, stats) first")
+    final_act = jnp.tanh if image_width == 64 else jax.nn.sigmoid
+    d = vec.reshape(vec.shape[0], 1, 1, vec.shape[-1])
+    d = L.leaky_relu(L.conv_transpose2d_apply(params["head"]["conv"], d,
+                                              stride=1, torch_padding=0))
+    for p, pre in zip(params["stages"], skip_pre[:-1]):
+        w, b = p["conv"]["w"], p["conv"]["b"]
+        y = L.conv_transpose2d_raw(w[:, :, :d.shape[-1]], d, 2, 1)
+        d = L.leaky_relu(L.broadcast_add(y, pre) + b.astype(y.dtype))
+    wf, bf = params["final"]["w"], params["final"]["b"]
+    y = L.conv_transpose2d_raw(wf[:, :, :d.shape[-1]], d, 2, 1)
+    return final_act(L.broadcast_add(y, skip_pre[-1]) + bf.astype(y.dtype))
+
+
 def decoder_apply(params, stats, vec, skips, train: bool, image_width: int = 64,
                   axis_name=None):
     """(vec: (B, dim), skips from encoder) → (x: (B, H, W, nc), stats)."""

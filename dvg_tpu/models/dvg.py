@@ -67,6 +67,21 @@ class DVGModel:
                                            h, skips, train,
                                            axis_name=axis_name)
 
+    def decode_skip_pre(self, params, skips):
+        """Hoist the frozen-skip half of every decoder stage conv: computed
+        ONCE per rollout instead of at every scan step (the skips are
+        frozen at the last context frame in every non---last_frame_skip
+        generation path, reference generate_frames.py:116-127). Requires
+        BN-folded params; pair with decode_hoisted."""
+        return self.backbone.decoder_skip_pre(params["decoder"], skips)
+
+    def decode_hoisted(self, params, h, skip_pre):
+        """Eval-mode decode against decode_skip_pre's precomputed halves —
+        ~half the decoder FLOPs of the scanned generation hot loop
+        (PERF.md r5). Returns frames only."""
+        return self.backbone.decoder_apply_hoisted(params["decoder"], h,
+                                                   skip_pre)
+
     def lstm_hidden_init(self, batch_size: int, dtype=jnp.float32):
         return rnn_mod.lstm_hidden_init(batch_size, self.cfg.rnn_size,
                                         self.cfg.predictor_rnn_layers, dtype)

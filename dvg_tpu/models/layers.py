@@ -153,6 +153,28 @@ def conv_transpose2d_raw(w: jnp.ndarray, x: jnp.ndarray, stride: int,
     )
 
 
+def broadcast_add(y: jnp.ndarray, pre: jnp.ndarray) -> jnp.ndarray:
+    """y (N·b0, h, w, c) + pre (b0, h, w, c) where N·b0 may be a merged
+    sample·batch axis: broadcast over the leading sample factor.
+
+    Equal leading axes take the plain `y + pre` path (fuses into the
+    producing conv's output fusion — every hoisted-decode caller except the
+    merged-batch eval scan is shape-equal). The unequal path's 5-D
+    reshape-broadcast is CORRECT but measured SLOWER than pre-tiling on TPU
+    (19.3 vs 10.0 ms/step in the rollout decoder, PERF.md r5: the reshape
+    breaks the convT output fusion) — hot loops should tile `pre` to the
+    merged batch ONCE outside the scan (generate/rollout.py does), leaving
+    this branch as the correctness fallback."""
+    if y.shape[0] == pre.shape[0]:
+        return y + pre
+    n, rem = divmod(y.shape[0], pre.shape[0])
+    if rem:
+        raise ValueError(
+            f"broadcast_add: leading axis {y.shape[0]} is not a multiple of "
+            f"the precomputed batch {pre.shape[0]}")
+    return (y.reshape((n,) + pre.shape) + pre[None]).reshape(y.shape)
+
+
 def conv_transpose2d_apply(p: Params, x: jnp.ndarray, stride: int,
                            torch_padding: int) -> jnp.ndarray:
     """Torch-style ConvTranspose2d(k, stride, padding).

@@ -24,6 +24,9 @@ class Backbone(NamedTuple):
     decoder_fold: callable = None
     decoder_apply_grouped: callable = None   # shared-skip variant decode
     #   (train-step joint pass; see dcgan.decoder_apply_grouped)
+    decoder_skip_pre: callable = None        # frozen-skip conv halves,
+    #   hoisted out of the generation scan (dcgan.decoder_skip_pre)
+    decoder_apply_hoisted: callable = None   # eval decode consuming them
 
 
 def get_backbone(model: str = "dcgan", image_width: int = 64) -> Backbone:
@@ -59,6 +62,10 @@ def get_backbone(model: str = "dcgan", image_width: int = 64) -> Backbone:
     # a backbone without one fails at registration with its name, not with
     # an opaque error mid-training-step
     grouped_fn = mod.decoder_apply_grouped
+    # same eagerness for the hoisted-decode pair: the rollout hot path uses
+    # them unconditionally whenever skips are frozen (generate/rollout.py)
+    skip_pre_fn = mod.decoder_skip_pre
+    hoisted_fn = mod.decoder_apply_hoisted
 
     def dec_grouped(params, stats, vecs, skips_unique, group_idx, train,
                     axis_name=None):
@@ -77,4 +84,8 @@ def get_backbone(model: str = "dcgan", image_width: int = 64) -> Backbone:
         encoder_fold=mod.encoder_fold,
         decoder_fold=mod.decoder_fold,
         decoder_apply_grouped=dec_grouped,
+        decoder_skip_pre=lambda params, skips: skip_pre_fn(
+            params, skips, image_width=image_width),
+        decoder_apply_hoisted=lambda params, vec, skip_pre: hoisted_fn(
+            params, vec, skip_pre, image_width=image_width),
     )

@@ -213,6 +213,47 @@ def decoder_apply_grouped(params, stats, vecs, skips_unique, group_idx,
     return out, {"head": head_stats, "groups": new_group_stats}
 
 
+def decoder_skip_pre(params, skips, image_width: int = 64):
+    """Skip-half contribution of each decoder group's FIRST conv for a
+    FROZEN skip set (only that conv consumes the channel concat,
+    vgg_64.py:97-105) — hoisted out of the rollout scan exactly like
+    dcgan.decoder_skip_pre (see its docstring for the linearity split and
+    the broadcast-batch contract)."""
+    del image_width
+    outs = []
+    for p_group, skip in zip(params["groups"], reversed(skips)):
+        w = p_group[0]["conv"]["w"]
+        c_s = skip.shape[-1]
+        outs.append(L.conv2d_raw(w[:, :, w.shape[2] - c_s:], skip, 1, 1))
+    return outs
+
+
+def decoder_apply_hoisted(params, vec, skip_pre, image_width: int = 64):
+    """Eval-mode decode against precomputed skip halves (decoder_skip_pre).
+    Requires BN-folded params; returns frames only. Numerics note in
+    dcgan.decoder_apply_hoisted applies."""
+    del image_width
+    if "bn" in params["groups"][0][0]:
+        raise ValueError(
+            "decoder_apply_hoisted requires BN-folded params — call "
+            "model.fold_inference_params(params, stats) first")
+    d = vec.reshape(vec.shape[0], 1, 1, vec.shape[-1])
+    d = L.leaky_relu(L.conv_transpose2d_apply(params["head"]["conv"], d,
+                                              stride=1, torch_padding=0))
+    for p_group, pre in zip(params["groups"], skip_pre):
+        up = L.upsample_nearest2d(d, 2)
+        p0 = p_group[0]
+        y = L.conv2d_raw(p0["conv"]["w"][:, :, :up.shape[-1]], up, 1, 1)
+        d = L.leaky_relu(L.broadcast_add(y, pre)
+                         + p0["conv"]["b"].astype(y.dtype))
+        for p in p_group[1:]:
+            d = L.leaky_relu(L.conv2d_apply(p["conv"], d, stride=1,
+                                            padding=1))
+    out = L.conv_transpose2d_apply(params["final"], d, stride=1,
+                                   torch_padding=1)
+    return jax.nn.sigmoid(out)
+
+
 def decoder_apply(params, stats, vec, skips, train: bool, image_width: int = 64,
                   axis_name=None):
     d = vec.reshape(vec.shape[0], 1, 1, vec.shape[-1])

@@ -81,6 +81,47 @@ def test_gaussian_encoder():
 
 @pytest.mark.parametrize("model,width", [("dcgan", 64), ("vgg", 64),
                                          ("dcgan", 128)])
+def test_hoisted_decode_matches_fused(model, width):
+    """decoder_apply_hoisted(decoder_skip_pre(...)) must reproduce the fused
+    eval decode on BN-folded params — including when the latent batch is a
+    merged sample·batch multiple of the skip batch (the rollout's broadcast
+    contract, models/layers.py:broadcast_add)."""
+    import numpy as np
+    bb = get_backbone(model, width)
+    key = jax.random.PRNGKey(0)
+    dim, nc, b, s_n = 12, 3, 2, 3
+    enc_p = bb.encoder_init(key, dim, nc)
+    enc_s = bb.encoder_stats_init(dim, nc)
+    dec_p = bb.decoder_init(jax.random.PRNGKey(1), dim, nc)
+    dec_s = bb.decoder_stats_init(dim, nc)
+    enc_s = jax.tree.map(lambda a: a + 0.3, enc_s)
+    dec_s = jax.tree.map(lambda a: a + 0.3, dec_s)
+    x = jax.random.uniform(jax.random.PRNGKey(2), (b, width, width, nc))
+
+    (h, skips), _ = bb.encoder_apply(enc_p, enc_s, x, train=False)
+    dec_f = bb.decoder_fold(dec_p, dec_s)
+
+    # unfolded params must be rejected (the hoist is eval/folded-only)
+    with pytest.raises(ValueError, match="BN-folded"):
+        bb.decoder_apply_hoisted(dec_p, h, bb.decoder_skip_pre(dec_f, skips))
+
+    y_ref, _ = bb.decoder_apply(dec_f, dec_s, h, skips, train=False)
+    pre = bb.decoder_skip_pre(dec_f, skips)
+    y_h = bb.decoder_apply_hoisted(dec_f, h, pre)
+    np.testing.assert_allclose(np.asarray(y_h), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-6)
+
+    # merged sample·batch axis: latent at (S·B), skips frozen at (B)
+    h_m = jnp.tile(h, (s_n, 1))
+    sk_m = [jnp.tile(s, (s_n, 1, 1, 1)) for s in skips]
+    y_ref_m, _ = bb.decoder_apply(dec_f, dec_s, h_m, sk_m, train=False)
+    y_h_m = bb.decoder_apply_hoisted(dec_f, h_m, pre)
+    np.testing.assert_allclose(np.asarray(y_h_m), np.asarray(y_ref_m),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("model,width", [("dcgan", 64), ("vgg", 64),
+                                         ("dcgan", 128)])
 def test_bn_folding_matches_eval_forward(model, width):
     """fold_conv_bn'd params must reproduce the unfolded eval-mode forward
     (conv→BN composition) through the full encoder/decoder stack."""

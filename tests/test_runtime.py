@@ -1,5 +1,7 @@
 """Native runtime tests: the C++ fastload decoder vs the PIL reference path
-(skipped when no toolchain can build the library)."""
+(skipped when no toolchain can build the library — EXCEPT under
+DVG_REQUIRE_NATIVE=1, which CI sets after installing libpng/libjpeg so a
+silent native→PIL degradation fails the build instead of skipping)."""
 
 import os
 
@@ -9,8 +11,48 @@ from PIL import Image
 
 from dvg_tpu.runtime import fastload
 
-pytestmark = pytest.mark.skipif(not fastload.is_available(),
-                                reason="native fastload not built")
+_required = os.environ.get("DVG_REQUIRE_NATIVE") == "1"
+pytestmark = pytest.mark.skipif(
+    not _required and not fastload.is_available(),
+    reason="native fastload not built (set DVG_REQUIRE_NATIVE=1 to fail "
+           "instead of skipping)")
+
+
+def test_native_available_when_required():
+    """The unskippable CI gate (VERDICT r4 item 7): with the decode
+    toolchain installed, fastload must build and load — a quiet fallback
+    to PIL in the real pipeline would otherwise never fail CI."""
+    if not _required:
+        pytest.skip("DVG_REQUIRE_NATIVE not set")
+    assert fastload.is_available(), (
+        "DVG_REQUIRE_NATIVE=1 but the native decoder failed to build/load — "
+        "the data pipeline would silently degrade to PIL")
+
+
+def test_dataset_routes_through_native(tmp_path, monkeypatch):
+    """Prove the Loader path actually CALLS the native decoder for a
+    PNG-tree dataset (not merely that the library loads): count
+    fastload.decode_batch invocations under a real BAIR __getitem__."""
+    from dvg_tpu.data import frames as F
+    root = tmp_path / "processed_data" / "train" / "shard" / "0"
+    os.makedirs(root)
+    rng = np.random.RandomState(2)
+    for t in range(4):
+        Image.fromarray(rng.randint(0, 256, (64, 64, 3), np.uint8)).save(
+            str(root / f"{t}.png"))
+    calls = []
+    real = fastload.decode_batch
+    monkeypatch.setattr(fastload, "decode_batch",
+                        lambda *a, **k: (calls.append(len(a[0])),
+                                         real(*a, **k))[1])
+    ds = F.BAIR(train=False, data_root=str(tmp_path), seq_len=4)
+    ds.root = str(tmp_path / "processed_data" / "train")
+    ds.dirs = [str(root)]
+    seq, _ = ds[0]
+    assert calls == [4], (
+        "BAIR.__getitem__ did not route its 4-frame decode through "
+        "fastload.decode_batch")
+    assert seq.shape == (4, 64, 64, 3) and seq.dtype == np.float32
 
 
 @pytest.fixture(scope="module")

@@ -69,6 +69,16 @@ TCFG = DVGConfig(dataset="smmnist", channels=1, image_width=64,
                  g_dim=24, rnn_size=64, num_inducing_points=8)
 TRAIN_STEPS = int(os.environ.get("DVG_PARITY_TRAIN_STEPS", "200"))
 
+# the reference's REAL latent geometry: g_dim=90 GP tasks x 40 inducing
+# points (models/gp_models.py:10-24, train.py:47-49) — the axis where
+# SVGP-vs-gpytorch numerics could drift with width. Batch/steps stay small
+# to remain CPU-feasible; posterior + best-of-N parity are re-asserted at
+# this width below (VERDICT r4 item 4).
+TCFG90 = DVGConfig(dataset="smmnist", channels=1, image_width=64,
+                   batch_size=4, n_past=2, n_future=3, n_eval=32,
+                   g_dim=90, rnn_size=64, num_inducing_points=40)
+TRAIN_STEPS90 = int(os.environ.get("DVG_PARITY90_TRAIN_STEPS", "120"))
+
 
 @pytest.fixture(scope="module")
 def ref():
@@ -286,20 +296,19 @@ def _mnist_batch(ds, step, batch_size):
 # the trained model (module-scope: train once, reuse across tests)
 # ===========================================================================
 
-@pytest.fixture(scope="module")
-def trained(ref, tmp_path_factory):
-    model, params, stats = RSP._jax_model(TCFG)
+def _train_and_import(ref, tmp_path_factory, cfg, train_steps):
+    model, params, stats = RSP._jax_model(cfg)
     params = RSP._perturb_gp(params)    # off the degenerate pristine init
-    enc, dec, fp = RSP._verbatim_modules(ref, TCFG, params, stats, "dcgan")
+    enc, dec, fp = RSP._verbatim_modules(ref, cfg, params, stats, "dcgan")
     enc.train(), dec.train(), fp.train()
     gp, lik = _gp_tensors(params, torch.float32)
-    trainer = RefTrainer(enc, dec, fp, gp, lik, TCFG, leak=True)
+    trainer = RefTrainer(enc, dec, fp, gp, lik, cfg, leak=True)
 
-    ds = MovingMNIST(train=True, seq_len=TCFG.seq_len_train,
+    ds = MovingMNIST(train=True, seq_len=cfg.seq_len_train,
                      image_size=64, seed=5)
     losses = []
-    for step in range(TRAIN_STEPS):
-        x = _mnist_batch(ds, step, TCFG.batch_size)
+    for step in range(train_steps):
+        x = _mnist_batch(ds, step, cfg.batch_size)
         losses.append(trainer.step(x)[0])
     # the model must be genuinely trained, not noise
     early, late = np.mean(losses[:10]), np.mean(losses[-10:])
@@ -308,12 +317,12 @@ def trained(ref, tmp_path_factory):
     enc.eval(), dec.eval(), fp.eval()
     tmp = tmp_path_factory.mktemp("trained")
     pth = str(tmp / "model.pth")
-    _save_reference_pth(pth, enc, dec, fp, gp, lik, TCFG)
+    _save_reference_pth(pth, enc, dec, fp, gp, lik, cfg)
 
     out = IT.import_checkpoint(pth, str(tmp / "imported"))
     cfg2, payload = load_checkpoint(out)
     assert (cfg2.g_dim, cfg2.model, cfg2.num_inducing_points) == (
-        TCFG.g_dim, "dcgan", TCFG.num_inducing_points)
+        cfg.g_dim, "dcgan", cfg.num_inducing_points)
     jmodel = DVGModel(cfg2)
     # restore against a skeleton so msgpack's string-keyed dicts become the
     # real pytree (lists-of-stages) — same contract as cli/generate.py:134
@@ -326,9 +335,20 @@ def trained(ref, tmp_path_factory):
     test_ds = MovingMNIST(train=False, seq_len=40,   # longest protocol below
                           image_size=64, seed=9)
     return SimpleNamespace(
-        enc=enc, dec=dec, fp=fp, gp=gp, lik=lik, cfg=TCFG,
+        enc=enc, dec=dec, fp=fp, gp=gp, lik=lik, cfg=cfg,
         cfg2=cfg2, model=jmodel, params=jparams, stats=jstats, cache=cache,
         test_ds=test_ds, losses=losses)
+
+
+@pytest.fixture(scope="module")
+def trained(ref, tmp_path_factory):
+    return _train_and_import(ref, tmp_path_factory, TCFG, TRAIN_STEPS)
+
+
+@pytest.fixture(scope="module")
+def trained90(ref, tmp_path_factory):
+    """Reference-width model: g_dim=90, 40 inducing points."""
+    return _train_and_import(ref, tmp_path_factory, TCFG90, TRAIN_STEPS90)
 
 
 def _eval_clip(trained, n_frames, batch, offset=0):
@@ -340,7 +360,7 @@ def _eval_clip(trained, n_frames, batch, offset=0):
 # (a) posterior rollout — frame-wise on trained weights
 # ===========================================================================
 
-def test_trained_posterior_rollout_parity(trained):
+def _check_posterior_rollout_parity(trained):
     """generate_frames.py:111-134 torch-executed on the TRAINED verbatim
     modules vs the imported checkpoint's JAX posterior path, frame-wise."""
     n_past, n_eval, b = 2, 22, 8
@@ -388,11 +408,22 @@ def test_trained_posterior_rollout_parity(trained):
                                atol=5e-4)
 
 
+def test_trained_posterior_rollout_parity(trained):
+    _check_posterior_rollout_parity(trained)
+
+
+def test_trained90_posterior_rollout_parity(trained90):
+    """Same frame-wise posterior parity at the reference's real latent
+    geometry (g_dim=90, 40 inducing points — generate_frames.py:47-49,
+    models/gp_models.py:10-24)."""
+    _check_posterior_rollout_parity(trained90)
+
+
 # ===========================================================================
 # (b) diverse best-of-N SSIM — the north-star 0.5% budget
 # ===========================================================================
 
-def test_trained_diverse_best_of_n_ssim(trained):
+def _check_diverse_best_of_n_ssim(trained):
     """generate_frames.py:143-178 torch-executed (reference-exact
     batch-correlated rsample at the i%15 forks) vs the JAX diverse_metrics
     path (default per-row marginal law): best-of-N mean SSIM must agree
@@ -469,6 +500,17 @@ def test_trained_diverse_best_of_n_ssim(trained):
     gap = abs(j_per.mean() - t_per.mean())
     assert gap < max(3.0 * se, 0.005 * t_per.mean()), (
         j_per.mean(), t_per.mean(), gap, se)
+
+
+def test_trained_diverse_best_of_n_ssim(trained):
+    _check_diverse_best_of_n_ssim(trained)
+
+
+def test_trained90_diverse_best_of_n_ssim(trained90):
+    """The 0.5% best-of-N budget at the reference's real latent geometry
+    (g_dim=90, 40 inducing points) — the width where SVGP-vs-gpytorch
+    numerics could drift (VERDICT r4 item 4)."""
+    _check_diverse_best_of_n_ssim(trained90)
 
 
 # ===========================================================================
