@@ -13,8 +13,9 @@ WHOLE metric in one pass per image block:
     small matmuls per moment instead of a sliding window);
   * SSIM statistics + map mean + PSNR on the VPU (fixed data_range = 2.0 —
     no per-image max/min mode on this path);
-  * one scalar pair written per image — the (N, h', w') moment maps never
-    touch HBM.
+  * one scalar triple (ssim, psnr, mse) written per image — the
+    (N, h', w') moment maps never touch HBM, and the MSE (already computed
+    for PSNR) comes out for free, so callers need no separate MSE pass.
 
 Semantics identical to ops/ssim.py `ssim_psnr_batch` (skimage ≤0.17
 compare_ssim/compare_psnr float defaults: uniform window, unbiased
@@ -90,7 +91,7 @@ def _band(out_size: int, in_size: int, win: int) -> np.ndarray:
     return m
 
 
-def _kernel(gt_ref, pred_ref, ww_ref, ssim_ref, psnr_ref,
+def _kernel(gt_ref, pred_ref, ww_ref, ssim_ref, psnr_ref, mse_ref,
             *, win: int, hw: int, block: int):
     ww = ww_ref[...]                                 # (W-win+1, W)
     n = win * win
@@ -155,19 +156,33 @@ def _kernel(gt_ref, pred_ref, ww_ref, ssim_ref, psnr_ref,
     # stores to VMEM are illegal / layout-fragile)
     ssim_ref[pl.dslice(i, 1), :] = ssim_vals.reshape(1, k)
     psnr_ref[pl.dslice(i, 1), :] = psnr_vals.reshape(1, k)
+    # per-image MSE falls out of the PSNR computation for free; emitting it
+    # lets the rollout drop its expanded-form einsum MSE (and the f32 copy
+    # of every generated frame it dragged in) — and the DIRECT Σ(x−g)² here
+    # is numerically better than the Σx²−2xg+Σg² caller-side form at
+    # trained-model MSE scale (rollout.py metrics_of precision note).
+    mse_ref[pl.dslice(i, 1), :] = mse.reshape(1, k)
+
+
+def _mse_fallback(gt: jnp.ndarray, pred: jnp.ndarray) -> jnp.ndarray:
+    """(N, H, W) direct per-image MSE for the no-Pallas fallback paths."""
+    d = gt.astype(jnp.float32) - pred.astype(jnp.float32)
+    return jnp.mean(d * d, axis=(1, 2))
 
 
 def ssim_psnr_images(gt: jnp.ndarray, pred: jnp.ndarray, win: int = 7,
                      block: int = 8, interpret: bool = None
-                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-image SSIM/PSNR for (N, H, W) single-channel batches → ((N,), (N,)).
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-image SSIM/PSNR/MSE for (N, H, W) single-channel batches →
+    ((N,), (N,), (N,)).
 
     N must be a multiple of `block` (callers pad). Falls back to the XLA
     path when Pallas is unavailable."""
     n, h, w = gt.shape
     if not _PALLAS_OK:                               # pragma: no cover
         from dvg_tpu.ops.ssim import ssim_psnr_batch
-        return ssim_psnr_batch(gt[..., None], pred[..., None], win)
+        s, q = ssim_psnr_batch(gt[..., None], pred[..., None], win)
+        return s, q, _mse_fallback(gt, pred)
     interpret = _resolve_interpret(interpret)
     block = min(block, _max_block(h, w))   # resolution-scaled VMEM budget
     assert n % block == 0, (n, block)
@@ -176,9 +191,9 @@ def ssim_psnr_images(gt: jnp.ndarray, pred: jnp.ndarray, win: int = 7,
     kern = functools.partial(_kernel, win=win, hw=h * w, block=block)
     # rank-1 outputs with tiny blocks violate TPU lane tiling; emit
     # (grid, block) 2-D outputs and flatten after
-    out_shape = (jax.ShapeDtypeStruct((n // block, block), jnp.float32),
-                 jax.ShapeDtypeStruct((n // block, block), jnp.float32))
-    ssim, psnr = pl.pallas_call(
+    out_shape = tuple(jax.ShapeDtypeStruct((n // block, block), jnp.float32)
+                      for _ in range(3))
+    ssim, psnr, mse = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
@@ -189,24 +204,23 @@ def ssim_psnr_images(gt: jnp.ndarray, pred: jnp.ndarray, win: int = 7,
             pl.BlockSpec((w - win + 1, w), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(pl.BlockSpec((n // block, block), lambda i: (0, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((n // block, block), lambda i: (0, 0),
-                                memory_space=pltpu.VMEM)),
+        out_specs=tuple(pl.BlockSpec((n // block, block), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)
+                        for _ in range(3)),
         out_shape=out_shape,
         interpret=interpret,
     )(gt, pred, ww)
-    return ssim.reshape(n), psnr.reshape(n)
+    return ssim.reshape(n), psnr.reshape(n), mse.reshape(n)
 
 
 def ssim_psnr_cyclic(gt: jnp.ndarray, pred: jnp.ndarray, win: int = 7,
                      interpret: bool = None
-                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Pairwise kernel with a CYCLIC gt: gt (G, H, W) single-channel images,
     pred (N, H, W) with N = S·G laid out so pred row p scores against
     gt row p % G (the diverse-sample layout: samples repeat the gt batch).
     The gt never materializes S times in HBM — its blocks are re-read via
-    the index map. Returns ((N,), (N,))."""
+    the index map. Returns ((N,), (N,), (N,)) = (ssim, psnr, mse)."""
     g, h, w = gt.shape
     n = pred.shape[0]
     assert n % g == 0, (n, g)
@@ -219,14 +233,15 @@ def ssim_psnr_cyclic(gt: jnp.ndarray, pred: jnp.ndarray, win: int = 7,
         from dvg_tpu.ops.ssim import ssim_psnr_batch
         reps = n // g
         gt_full = jnp.tile(gt, (reps, 1, 1))
-        return ssim_psnr_batch(gt_full[..., None], pred[..., None], win)
+        s, q = ssim_psnr_batch(gt_full[..., None], pred[..., None], win)
+        return s, q, _mse_fallback(gt_full, pred)
     interpret = _resolve_interpret(interpret)
     ww = jnp.asarray(_band(w - win + 1, w, win))
     gpb = g // block                                  # gt blocks per cycle
     kern = functools.partial(_kernel, win=win, hw=h * w, block=block)
-    out_shape = (jax.ShapeDtypeStruct((n // block, block), jnp.float32),
-                 jax.ShapeDtypeStruct((n // block, block), jnp.float32))
-    ssim, psnr = pl.pallas_call(
+    out_shape = tuple(jax.ShapeDtypeStruct((n // block, block), jnp.float32)
+                      for _ in range(3))
+    ssim, psnr, mse = pl.pallas_call(
         kern,
         grid=(n // block,),
         in_specs=[
@@ -237,33 +252,37 @@ def ssim_psnr_cyclic(gt: jnp.ndarray, pred: jnp.ndarray, win: int = 7,
             pl.BlockSpec((w - win + 1, w), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(pl.BlockSpec((n // block, block), lambda i: (0, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((n // block, block), lambda i: (0, 0),
-                                memory_space=pltpu.VMEM)),
+        out_specs=tuple(pl.BlockSpec((n // block, block), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)
+                        for _ in range(3)),
         out_shape=out_shape,
         interpret=interpret,
     )(gt, pred, ww)
-    return ssim.reshape(n), psnr.reshape(n)
+    return ssim.reshape(n), psnr.reshape(n), mse.reshape(n)
 
 
 def ssim_psnr_batch_pallas_cyclic(gt: jnp.ndarray, pred: jnp.ndarray,
                                   win: int = 7, interpret: bool = None
-                                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                                  ) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                             jnp.ndarray]:
     """Channel-averaged metrics for the diverse layout: gt (B, H, W, C),
-    pred (S·B, H, W, C) sample-major (rows s·B + b) → ((S·B,), (S·B,))."""
+    pred (S·B, H, W, C) sample-major (rows s·B + b) →
+    ((S·B,), (S·B,), (S·B,)) = (ssim, psnr, mse). The channel-mean of the
+    per-channel MSEs equals the full-image MSE (equal pixel counts)."""
     b, h, w, c = gt.shape
     n = pred.shape[0]
     gt_i = jnp.transpose(gt, (0, 3, 1, 2)).reshape(b * c, h, w)
     pred_i = jnp.transpose(pred, (0, 3, 1, 2)).reshape(n * c, h, w)
-    s_v, q_v = ssim_psnr_cyclic(gt_i, pred_i, win, interpret)
-    return (s_v.reshape(n, c).mean(axis=1), q_v.reshape(n, c).mean(axis=1))
+    s_v, q_v, m_v = ssim_psnr_cyclic(gt_i, pred_i, win, interpret)
+    return (s_v.reshape(n, c).mean(axis=1), q_v.reshape(n, c).mean(axis=1),
+            m_v.reshape(n, c).mean(axis=1))
 
 
 def ssim_psnr_batch_pallas(gt: jnp.ndarray, pred: jnp.ndarray, win: int = 7,
                            interpret: bool = None
-                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Channel-averaged drop-in for ops.ssim.ssim_psnr_batch on NHWC input."""
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Channel-averaged drop-in for ops.ssim.ssim_psnr_batch on NHWC input
+    (plus a third per-image MSE output the XLA path does not compute)."""
     b, h, w, c = gt.shape
     gt_i = jnp.transpose(gt, (0, 3, 1, 2)).reshape(b * c, h, w)
     pred_i = jnp.transpose(pred, (0, 3, 1, 2)).reshape(b * c, h, w)
@@ -274,7 +293,8 @@ def ssim_psnr_batch_pallas(gt: jnp.ndarray, pred: jnp.ndarray, win: int = 7,
         gt_i = jnp.concatenate([gt_i, jnp.ones((pad, h, w), gt_i.dtype)])
         pred_i = jnp.concatenate([pred_i, jnp.ones((pad, h, w),
                                                    pred_i.dtype)])
-    s, q = ssim_psnr_images(gt_i, pred_i, win, block, interpret)
+    s, q, m = ssim_psnr_images(gt_i, pred_i, win, block, interpret)
     s = s[:n].reshape(b, c).mean(axis=1)
     q = q[:n].reshape(b, c).mean(axis=1)
-    return s, q
+    m = m[:n].reshape(b, c).mean(axis=1)
+    return s, q, m

@@ -129,17 +129,11 @@ def main():
             ccache, model.to_gp_layout(h), k))
         y = model.decode_hoisted(fparams, jnp.where(True, samp, h_pred),
                                  [jnp.zeros(s, cdtype) for s in pre_shapes])
-        # in-scan metrics, exactly as metrics_of (rollout.py)
-        s_v, q_v = ssim_psnr_batch_pallas_cyclic(gt_b, y)
-        yf = y.astype(jnp.float32)
-        f = 64 * 64 * 3
-        xs = yf.reshape(nsample, batch, f)
-        gs = gt_b.astype(jnp.float32).reshape(batch, f)
-        cross = jnp.einsum("sbf,bf->sb", xs, gs,
-                           preferred_element_type=jnp.float32)
-        m_v = (jnp.sum(xs * xs, axis=-1) - 2.0 * cross
-               + jnp.sum(gs * gs, axis=-1)[None]) / f
-        return y, hidden, (s_v, q_v, m_v)
+        # in-scan metrics, exactly as metrics_of (rollout.py): all three
+        # come out of the one Pallas pass since the r5 MSE fold
+        s_v, q_v, m_v = ssim_psnr_batch_pallas_cyclic(gt_b, y)
+        return y, hidden, (s_v, q_v,
+                           m_v.reshape(nsample, batch))
 
     xin0 = jnp.zeros((sb, 64, 64, 3), cdtype)
     gt0 = jnp.zeros((batch, 64, 64, 3), jnp.float32)
