@@ -91,53 +91,39 @@ def _band(out_size: int, in_size: int, win: int) -> np.ndarray:
     return m
 
 
-def _kernel(gt_ref, pred_ref, ww_ref, ssim_ref, psnr_ref, mse_ref,
-            *, win: int, hw: int, block: int):
-    ww = ww_ref[...]                                 # (W-win+1, W)
-    n = win * win
-    cov_norm = n / (n - 1.0)
-    i = pl.program_id(0)
-    h, w = gt_ref.shape[-2], gt_ref.shape[-1]
-    hp, wp = h - win + 1, w - win + 1
-    k = block
+def _image_mean(x):
+    """(K, H, W) → (K, 1, 1) per-image mean via single-axis reduces only
+    (multi-axis/rank-1 reduces and lane-merging reshapes hit unsupported
+    Mosaic layout casts)."""
+    return jnp.mean(jnp.mean(x, axis=2), axis=1, keepdims=True)[:, :, None]
 
-    gt = gt_ref[...].astype(jnp.float32)             # (K, H, W)
-    pred = pred_ref[...].astype(jnp.float32)
 
-    # Center the second-moment inputs so the variance cancellations
-    # uxx - ux² carry no large DC term (raw moments lose ~3 digits); the
-    # FIRST moments are boxed on the raw images directly (box is linear,
-    # so ux == box(gc) + mean — boxing raw avoids any per-image scalar
-    # broadcast, which Mosaic's layout inference rejects as rank-1).
-    # single-axis reduces only (multi-axis/rank-1 reduces and lane-merging
-    # reshapes hit unsupported Mosaic layout casts)
-    mg = jnp.mean(jnp.mean(gt, axis=2), axis=1,
-                  keepdims=True)[:, :, None]                     # (K,1,1)
-    mp = jnp.mean(jnp.mean(pred, axis=2), axis=1,
-                  keepdims=True)[:, :, None]
-    gc = gt - mg
-    pc = pred - mp
-
-    # ALL seven windowed moments of ALL block images at once (box ==
-    # W_h @ X @ W_w^T): the W direction as ONE large MXU matmul
-    # ((7K·H, W) @ (W, W') — per-image (64,64) dots starve the MXU at
-    # ~9 TFLOP/s), the H direction as `win` shifted-slice adds on the VPU
-    # (a banded matmul from the left would need a 3-D transpose Mosaic
-    # does not lower; the sliding sum is win adds of VMEM-resident tiles).
-    stack = jnp.concatenate([gt, pred, gc, pc, gc * gc, pc * pc, gc * pc],
-                            axis=0)                  # (7K, H, W)
-    y = jnp.dot(stack.reshape(7 * k * h, w), ww.T,
-                preferred_element_type=jnp.float32)  # (7K·H, W')
-    y = y.reshape(7 * k, h, wp)
+def _box_moments(stack, ww, win: int, hp: int):
+    """Uniform-window moments of a (R, H, W) stack of maps at once (box ==
+    W_h @ X @ W_w^T): the W direction as ONE large MXU matmul
+    ((R·H, W) @ (W, W') — per-image (64,64) dots starve the MXU at
+    ~9 TFLOP/s), the H direction as `win` shifted-slice adds on the VPU
+    (a banded matmul from the left would need a 3-D transpose Mosaic
+    does not lower; the sliding sum is win adds of VMEM-resident tiles).
+    Returns (R, H', W')."""
+    r, h, w = stack.shape
+    wp = ww.shape[0]
+    y = jnp.dot(stack.reshape(r * h, w), ww.T,
+                preferred_element_type=jnp.float32)  # (R·H, W')
+    y = y.reshape(r, h, wp)
     m = y[:, :hp]
     for d in range(1, win):
         m = m + y[:, d:d + hp]
-    m = m * (1.0 / win)                              # (7K, H', W')
-    ux, uy = m[:k], m[k:2 * k]                       # box of raw images
-    bux, buy = m[2 * k:3 * k], m[3 * k:4 * k]        # box of centered
-    bxx, byy = m[4 * k:5 * k], m[5 * k:6 * k]
-    bxy = m[6 * k:]
+    return m * (1.0 / win)                           # (R, H', W')
 
+
+def _ssim_tail(i, k, hw, cov_norm, ux, uy, bux, buy, bxx, byy, bxy,
+               gt, pred, ssim_ref, psnr_ref, mse_ref):
+    """Shared SSIM-statistics / PSNR / MSE epilogue + output stores.
+
+    ux/uy are boxed raw means, b* are boxed CENTERED moments (centering
+    keeps the variance cancellations uxx - ux² free of the large DC term —
+    raw second moments lose ~3 digits)."""
     vx = cov_norm * (bxx - bux * bux)
     vy = cov_norm * (byy - buy * buy)
     vxy = cov_norm * (bxy - bux * buy)
@@ -162,6 +148,96 @@ def _kernel(gt_ref, pred_ref, ww_ref, ssim_ref, psnr_ref, mse_ref,
     # is numerically better than the Σx²−2xg+Σg² caller-side form at
     # trained-model MSE scale (rollout.py metrics_of precision note).
     mse_ref[pl.dslice(i, 1), :] = mse.reshape(1, k)
+
+
+def _kernel(gt_ref, pred_ref, ww_ref, ssim_ref, psnr_ref, mse_ref,
+            *, win: int, hw: int, block: int):
+    ww = ww_ref[...]                                 # (W-win+1, W)
+    n = win * win
+    cov_norm = n / (n - 1.0)
+    i = pl.program_id(0)
+    h, w = gt_ref.shape[-2], gt_ref.shape[-1]
+    hp = h - win + 1
+    k = block
+
+    gt = gt_ref[...].astype(jnp.float32)             # (K, H, W)
+    pred = pred_ref[...].astype(jnp.float32)
+
+    # Box only CENTERED maps; the raw first moments are recovered by adding
+    # the per-image mean back (box is linear and mean-preserving, so
+    # box(raw) == box(centered) + mean) — 5 moment rows instead of 7.
+    mg = _image_mean(gt)                             # (K, 1, 1)
+    mp = _image_mean(pred)
+    gc = gt - mg
+    pc = pred - mp
+
+    stack = jnp.concatenate([gc, pc, gc * gc, pc * pc, gc * pc],
+                            axis=0)                  # (5K, H, W)
+    m = _box_moments(stack, ww, win, hp)             # (5K, H', W')
+    bux, buy = m[:k], m[k:2 * k]                     # box of centered
+    bxx, byy = m[2 * k:3 * k], m[3 * k:4 * k]
+    bxy = m[4 * k:]
+    ux = bux + mg                                    # box of raw images
+    uy = buy + mp
+
+    _ssim_tail(i, k, hw, cov_norm, ux, uy, bux, buy, bxx, byy, bxy,
+               gt, pred, ssim_ref, psnr_ref, mse_ref)
+
+
+def _kernel_pre(gt_ref, pred_ref, ww_ref, gux_ref, gxx_ref,
+                ssim_ref, psnr_ref, mse_ref,
+                *, win: int, hw: int, block: int):
+    """Cyclic-gt kernel variant consuming PRECOMPUTED gt-side windowed
+    moments (gux = box(gt − mean), gxx = box((gt − mean)²), from
+    _gt_box_moments). In the diverse layout every gt image is scored
+    against S (=100) samples, so its boxed moments are loop-invariant
+    across the sample axis — hoisting them drops the in-kernel moment
+    stack from 5 rows to 3 (pc, pc², gc·pc), ~40% of the kernel's VPU
+    work (H-direction sliding sums + stack build)."""
+    ww = ww_ref[...]                                 # (W-win+1, W)
+    n = win * win
+    cov_norm = n / (n - 1.0)
+    i = pl.program_id(0)
+    h, w = gt_ref.shape[-2], gt_ref.shape[-1]
+    hp = h - win + 1
+    k = block
+
+    gt = gt_ref[...].astype(jnp.float32)             # (K, H, W)
+    pred = pred_ref[...].astype(jnp.float32)
+
+    mg = _image_mean(gt)                             # (K, 1, 1)
+    mp = _image_mean(pred)
+    gc = gt - mg                                     # needed for the cross
+    pc = pred - mp
+
+    stack = jnp.concatenate([pc, pc * pc, gc * pc], axis=0)   # (3K, H, W)
+    m = _box_moments(stack, ww, win, hp)             # (3K, H', W')
+    buy = m[:k]
+    byy, bxy = m[k:2 * k], m[2 * k:]
+    bux = gux_ref[...]                               # precomputed gt side
+    bxx = gxx_ref[...]
+    ux = bux + mg
+    uy = buy + mp
+
+    _ssim_tail(i, k, hw, cov_norm, ux, uy, bux, buy, bxx, byy, bxy,
+               gt, pred, ssim_ref, psnr_ref, mse_ref)
+
+
+def _gt_box_moments(gt: jnp.ndarray, ww: jnp.ndarray, win: int
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """XLA-side precompute of the gt-only windowed moments for _kernel_pre:
+    gt (G, H, W) → (box(gt−mean), box((gt−mean)²)) each (G, H', W') f32.
+    Same banded-matmul + shifted-sum pipeline as the kernel, at 1/S of the
+    hot path's volume (G images vs S·G), so XLA's version is negligible."""
+    g32 = gt.astype(jnp.float32)
+    mg = jnp.mean(g32, axis=(1, 2), keepdims=True)
+    gc = g32 - mg
+    h = gt.shape[1]
+    hp = h - win + 1
+    stack = jnp.concatenate([gc, gc * gc], axis=0)   # (2G, H, W)
+    m = _box_moments(stack, ww, win, hp)
+    g = gt.shape[0]
+    return m[:g], m[g:]
 
 
 def _mse_fallback(gt: jnp.ndarray, pred: jnp.ndarray) -> jnp.ndarray:
@@ -238,7 +314,12 @@ def ssim_psnr_cyclic(gt: jnp.ndarray, pred: jnp.ndarray, win: int = 7,
     interpret = _resolve_interpret(interpret)
     ww = jnp.asarray(_band(w - win + 1, w, win))
     gpb = g // block                                  # gt blocks per cycle
-    kern = functools.partial(_kernel, win=win, hw=h * w, block=block)
+    hp, wp = h - win + 1, w - win + 1
+    # gt-side windowed moments are loop-invariant across the S samples that
+    # score against each gt row — precompute them ONCE per gt image in XLA
+    # and stream them into the kernel via the same cyclic index map
+    gux, gxx = _gt_box_moments(gt, ww, win)           # (G, H', W') each
+    kern = functools.partial(_kernel_pre, win=win, hw=h * w, block=block)
     out_shape = tuple(jax.ShapeDtypeStruct((n // block, block), jnp.float32)
                       for _ in range(3))
     ssim, psnr, mse = pl.pallas_call(
@@ -251,13 +332,17 @@ def ssim_psnr_cyclic(gt: jnp.ndarray, pred: jnp.ndarray, win: int = 7,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((w - win + 1, w), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, hp, wp), lambda i: (i % gpb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, hp, wp), lambda i: (i % gpb, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=tuple(pl.BlockSpec((n // block, block), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)
                         for _ in range(3)),
         out_shape=out_shape,
         interpret=interpret,
-    )(gt, pred, ww)
+    )(gt, pred, ww, gux, gxx)
     return ssim.reshape(n), psnr.reshape(n), mse.reshape(n)
 
 
